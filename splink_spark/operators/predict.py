@@ -1,0 +1,134 @@
+"""O7 — Bayes-factor / match-weight projection.
+
+reference: splink/predict.py::predict_from_comparison_vectors_sqls;
+TF adjustment: splink/comparison_level.py::ComparisonLevel
+(_tf_adjustment_sql).
+
+Fellegi–Sunter in log2 space (SURVEY.md §1.3):
+
+    match_weight = log2(prior_odds) + sum_c log2(m_{c,gamma_c} / u_{c,gamma_c})
+    match_probability = 2^w / (1 + 2^w)
+
+Spark-first: per comparison a ``F.when`` cascade maps the (small-int)
+gamma to a *literal* log2 Bayes factor — the m/u values are driver-side
+model constants, so the whole projection is constant-folded column
+arithmetic inside whole-stage codegen. Zero Python, zero shuffle.
+
+TF adjustment (exact-match levels on low-cardinality columns): multiply
+the level's Bayes factor by (u / tf(value))^tf_weight where tf(value) is
+the term frequency of the shared value, clamped below by
+tf_minimum_u_value — rarer values make an exact match more significant.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from splink_spark.model import NULL_GAMMA, Comparison, Settings
+from splink_spark.operators.tf import tf_column_name
+
+
+def _log2_bf_literal(comp: Comparison, gamma: int) -> float:
+    bf = comp.level_for_gamma(gamma).bayes_factor()
+    if bf <= 0:
+        return float("-inf")
+    return math.log2(bf)
+
+
+def bayes_factor_expr(comp: Comparison) -> Column:
+    """log2 Bayes factor for one comparison as a gamma→literal mapping."""
+    expr = F.when(F.col(comp.gamma_column) == NULL_GAMMA, F.lit(0.0))
+    for g in range(comp.num_scored_levels):
+        expr = expr.when(
+            F.col(comp.gamma_column) == g, F.lit(_log2_bf_literal(comp, g))
+        )
+    return expr.otherwise(F.lit(0.0))
+
+
+def tf_adjustment_expr(comp: Comparison) -> Column:
+    """Additional log2 weight from term-frequency adjustment.
+
+    Applies on levels with ``tf_adjustment_column`` set when the pair
+    landed in that level: log2( (u / max(tf, tf_min))^tf_weight ) using
+    the tf of the matching value (both sides equal on a TF-adjusted
+    exact-match level; we take the greater tf of the two sides as the
+    conservative choice when they differ, matching the reference's use of
+    the l/r tf pair).
+    """
+    out = F.lit(0.0)
+    for lv in comp.scored_levels:
+        if lv.tf_adjustment_column is None:
+            continue
+        g = comp.gamma_of(lv)
+        tf_l = F.col(f"{tf_column_name(lv.tf_adjustment_column)}_l")
+        tf_r = F.col(f"{tf_column_name(lv.tf_adjustment_column)}_r")
+        tf_val = F.greatest(tf_l, tf_r)
+        if lv.tf_minimum_u_value > 0:
+            tf_val = F.greatest(tf_val, F.lit(lv.tf_minimum_u_value))
+        u = F.lit(lv.u_probability)
+        adj = F.log2(u / tf_val) * F.lit(lv.tf_adjustment_weight)
+        out = out + F.when(
+            (F.col(comp.gamma_column) == g) & tf_l.isNotNull() & tf_r.isNotNull(),
+            adj,
+        ).otherwise(F.lit(0.0))
+    return out
+
+
+def predict_from_comparison_vectors(
+    vectors: DataFrame,
+    settings: Settings,
+    threshold_match_probability: float | None = None,
+    threshold_match_weight: float | None = None,
+    keep_bf_columns: bool = False,
+) -> DataFrame:
+    """Append bf_<name>, match_weight, match_probability; optional filter.
+
+    reference: splink/predict.py::predict_from_comparison_vectors_sqls
+    (CTE __splink__df_match_weight_parts then __splink__df_predict).
+    """
+    out = vectors
+    bf_cols = []
+    for comp in settings.comparisons:
+        name = f"bf_{comp.output_column_name}"
+        expr = bayes_factor_expr(comp)
+        if any(lv.tf_adjustment_column for lv in comp.scored_levels):
+            expr = expr + tf_adjustment_expr(comp)
+        out = out.withColumn(name, expr)
+        bf_cols.append(name)
+
+    w = F.lit(settings.prior_match_weight)
+    for name in bf_cols:
+        w = w + F.col(name)
+    out = out.withColumn("match_weight", w)
+    out = out.withColumn(
+        "match_probability",
+        F.pow(F.lit(2.0), F.col("match_weight"))
+        / (F.lit(1.0) + F.pow(F.lit(2.0), F.col("match_weight"))),
+    )
+    if threshold_match_weight is not None:
+        out = out.filter(F.col("match_weight") >= threshold_match_weight)
+    if threshold_match_probability is not None:
+        out = out.filter(F.col("match_probability") >= threshold_match_probability)
+    if not keep_bf_columns:
+        out = out.drop(*bf_cols)
+    return out
+
+
+def bayes_factor_sql(comp: Comparison) -> str:
+    """ANSI CASE mapping gamma→log2-BF literal (DuckDB oracle)."""
+    parts = [f"CASE {comp.gamma_column}"]
+    parts.append(f"WHEN {NULL_GAMMA} THEN 0.0")
+    for g in range(comp.num_scored_levels):
+        parts.append(f"WHEN {g} THEN {_log2_bf_literal(comp, g)!r}")
+    parts.append("ELSE 0.0 END")
+    return " ".join(parts)
+
+
+def match_weight_sql(settings: Settings) -> str:
+    """ANSI expression for match_weight over gamma columns (oracle)."""
+    terms = [repr(settings.prior_match_weight)]
+    terms += [f"({bayes_factor_sql(c)})" for c in settings.comparisons]
+    return " + ".join(terms)

@@ -1,0 +1,47 @@
+"""O6 — comparison-vector computation (gamma columns).
+
+reference: splink/comparison_vector_values.py::
+compute_comparison_vector_values_sql.
+
+Spark-first: one ``select`` projecting the pair table through a
+``F.when`` cascade per comparison. All cascades evaluate in a single
+whole-stage-codegen'd projection — no shuffle, no Python, unless a level
+condition calls a registered pandas-UDF comparator (the Arrow slow path,
+used only for comparators Spark lacks natively).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from splink_spark.model import Settings
+
+
+def compute_comparison_vectors(
+    pairs: DataFrame,
+    settings: Settings,
+    retain_columns: list[str] | None = None,
+) -> DataFrame:
+    """Append ``gamma_<name>`` int columns to the pair table.
+
+    ``retain_columns`` are pair-suffixed columns (already ``_l``/``_r``)
+    to keep; by default all existing columns are kept (Catalyst prunes
+    unused ones from the physical plan anyway — at plan level we keep the
+    logical width small only when asked, mirroring the reference's
+    retain_matching_columns=False).
+    """
+    out = pairs
+    if retain_columns is not None:
+        out = out.select(*retain_columns)
+    for comp in settings.comparisons:
+        out = out.withColumn(comp.gamma_column, comp.gamma_expr())
+    return out
+
+
+def comparison_vector_sql_projection(settings: Settings) -> list[str]:
+    """ANSI SQL projection fragments (for the DuckDB oracle):
+    one ``CASE ... END AS gamma_<name>`` per comparison."""
+    return [
+        f"{comp.gamma_sql()} AS {comp.gamma_column}"
+        for comp in settings.comparisons
+    ]

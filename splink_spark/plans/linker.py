@@ -1,0 +1,247 @@
+"""The Linker — top-level orchestration API.
+
+reference: splink/linker.py::Linker (predict,
+estimate_u_using_random_sampling,
+estimate_probability_two_random_records_match,
+estimate_parameters_using_expectation_maximisation,
+cluster_pairwise_predictions_at_threshold, find_matches_to_new_records,
+compare_two_records, save_model_to_json / load_model).
+
+Spark-first: each method composes lazy DataFrame transformations
+(SURVEY.md §3); the only materialisation points are the persisted
+concat_with_tf table and the per-superstep checkpoints inside
+connected components. Everything else is one Catalyst plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from splink_spark.model import BlockingRule, Settings
+from splink_spark.operators.blocking import block_using_rules
+from splink_spark.operators.cluster import (
+    cluster_pairwise_predictions_at_threshold as _cluster,
+)
+from splink_spark.operators.concat import vertically_concatenate
+from splink_spark.operators.predict import predict_from_comparison_vectors
+from splink_spark.operators.tf import concat_with_tf, tf_column_name
+from splink_spark.operators.training import (
+    EMResult,
+    apply_u_estimates,
+    estimate_m_from_label_column,
+    estimate_parameters_using_em,
+    estimate_probability_two_random_records_match,
+    estimate_u,
+)
+from splink_spark.operators.vectors import compute_comparison_vectors
+
+
+class Linker:
+    """Dedupe/link orchestrator over one or more input DataFrames."""
+
+    def __init__(
+        self,
+        inputs: DataFrame | dict[str, DataFrame],
+        settings: Settings,
+        spark: SparkSession | None = None,
+    ) -> None:
+        if isinstance(inputs, DataFrame):
+            inputs = {"__input__": inputs}
+        self.inputs = inputs
+        self.settings = settings
+        self.spark = spark or next(iter(inputs.values())).sparkSession
+        self._concat_with_tf: DataFrame | None = None
+
+    # -- stage: concat (+ TF) ---------------------------------------------
+
+    @property
+    def link_mode(self) -> bool:
+        return self.settings.link_type != "dedupe_only"
+
+    def tf_columns(self) -> list[str]:
+        cols: list[str] = []
+        for comp in self.settings.comparisons:
+            for lv in comp.scored_levels:
+                c = lv.tf_adjustment_column
+                if c and c not in cols:
+                    cols.append(c)
+        return cols
+
+    def concat_with_tf(self) -> DataFrame:
+        """O1 + O2/O3, persisted once per Linker (the reference caches
+        __splink__df_concat_with_tf the same way)."""
+        if self._concat_with_tf is None:
+            df = vertically_concatenate(
+                self.inputs,
+                source_dataset_column=self.settings.source_dataset_column_name,
+                unique_id_column=self.settings.uid,
+            )
+            df = concat_with_tf(df, self.tf_columns())
+            self._concat_with_tf = df.persist(StorageLevel.MEMORY_AND_DISK)
+        return self._concat_with_tf
+
+    # -- stage: blocking + vectors + predict ------------------------------
+
+    def _retain_columns(self) -> list[str]:
+        cols: list[str] = []
+        for comp in self.settings.comparisons:
+            for c in comp.input_columns:
+                if c not in cols:
+                    cols.append(c)
+        for c in self.tf_columns():
+            tc = tf_column_name(c)
+            if tc not in cols:
+                cols.append(tc)
+        return cols
+
+    def blocked_pairs(
+        self, rules: list[BlockingRule] | None = None
+    ) -> DataFrame:
+        return block_using_rules(
+            self.concat_with_tf(),
+            rules or self.settings.blocking_rules,
+            uid=self.settings.uid,
+            retain_columns=self._retain_columns(),
+            link_mode=self.link_mode,
+            source_col=self.settings.source_dataset_column_name,
+        )
+
+    def comparison_vectors(
+        self, rules: list[BlockingRule] | None = None
+    ) -> DataFrame:
+        return compute_comparison_vectors(self.blocked_pairs(rules), self.settings)
+
+    def predict(
+        self,
+        threshold_match_probability: float | None = None,
+        threshold_match_weight: float | None = None,
+    ) -> DataFrame:
+        """The scoring pipeline: O1→O4→O6→O7 as one lazy plan."""
+        return predict_from_comparison_vectors(
+            self.comparison_vectors(),
+            self.settings,
+            threshold_match_probability=threshold_match_probability,
+            threshold_match_weight=threshold_match_weight,
+        )
+
+    # -- training ----------------------------------------------------------
+
+    def estimate_u_using_random_sampling(
+        self, max_pairs: int = 1_000_000, seed: int = 42
+    ) -> None:
+        u = estimate_u(
+            self.concat_with_tf(), self.settings, max_pairs=max_pairs, seed=seed
+        )
+        apply_u_estimates(self.settings, u)
+
+    def estimate_probability_two_random_records_match(
+        self, deterministic_rules: list[BlockingRule | str], recall: float
+    ) -> float:
+        rules = [
+            r if isinstance(r, BlockingRule) else BlockingRule(rule=r)
+            for r in deterministic_rules
+        ]
+        lam = estimate_probability_two_random_records_match(
+            self.concat_with_tf(), rules, recall, uid=self.settings.uid
+        )
+        self.settings.probability_two_random_records_match = lam
+        return lam
+
+    def estimate_parameters_using_expectation_maximisation(
+        self, blocking_rule: BlockingRule | str, fix_u: bool = False
+    ) -> EMResult:
+        rule = (
+            blocking_rule
+            if isinstance(blocking_rule, BlockingRule)
+            else BlockingRule(rule=blocking_rule)
+        )
+        return estimate_parameters_using_em(
+            self.concat_with_tf(), self.settings, rule, fix_u=fix_u
+        )
+
+    def estimate_m_from_label_column(self, label_column: str) -> None:
+        m = estimate_m_from_label_column(
+            self.concat_with_tf(), self.settings, label_column
+        )
+        for ci, comp in enumerate(self.settings.comparisons):
+            for lv in comp.scored_levels:
+                lv.m_probability = float(m[ci][comp.gamma_of(lv)])
+
+    # -- clustering --------------------------------------------------------
+
+    def cluster_pairwise_predictions_at_threshold(
+        self, predictions: DataFrame, threshold_match_probability: float
+    ) -> DataFrame:
+        return _cluster(
+            predictions,
+            self.concat_with_tf(),
+            threshold_match_probability,
+            uid=self.settings.uid,
+        )
+
+    # -- incremental (O17) -------------------------------------------------
+
+    def find_matches_to_new_records(
+        self,
+        new_records: DataFrame,
+        threshold_match_probability: float | None = None,
+    ) -> DataFrame:
+        """Score a small new table against the base without re-blocking
+        everything: the new side is broadcast, so the base never shuffles
+        (natural broadcast-hash-join at any base size).
+
+        reference: splink/linker.py::Linker.find_matches_to_new_records.
+        """
+        base = self.concat_with_tf()
+        new = vertically_concatenate(
+            {"__new__": new_records},
+            source_dataset_column=self.settings.source_dataset_column_name,
+            unique_id_column=self.settings.uid,
+        )
+        new = concat_with_tf(new, self.tf_columns()) if self.tf_columns() else new
+        pairs = block_using_rules(
+            base,
+            self.settings.blocking_rules,
+            uid=self.settings.uid,
+            retain_columns=self._retain_columns(),
+            link_mode=True,
+            source_col=self.settings.source_dataset_column_name,
+            df_right=F.broadcast(new),
+        )
+        vectors = compute_comparison_vectors(pairs, self.settings)
+        return predict_from_comparison_vectors(
+            vectors,
+            self.settings,
+            threshold_match_probability=threshold_match_probability,
+        )
+
+    def compare_two_records(
+        self, record_l: dict, record_r: dict
+    ) -> DataFrame:
+        """Single-pair scoring. reference: splink/linker.py::
+        Linker.compare_two_records."""
+        uid = self.settings.uid
+        cols = self._retain_columns()
+        row = {}
+        row[f"{uid}_l"] = record_l.get(uid, 0)
+        row[f"{uid}_r"] = record_r.get(uid, 1)
+        for c in cols:
+            row[f"{c}_l"] = record_l.get(c)
+            row[f"{c}_r"] = record_r.get(c)
+        pair = self.spark.createDataFrame([row])
+        vectors = compute_comparison_vectors(pair, self.settings)
+        return predict_from_comparison_vectors(vectors, self.settings)
+
+    # -- model io ----------------------------------------------------------
+
+    def save_model_to_json(self, path: str) -> None:
+        self.settings.save(path)
+
+    @classmethod
+    def load_model(
+        cls, inputs: DataFrame | dict[str, DataFrame], path: str
+    ) -> Linker:
+        return cls(inputs, Settings.load(path))
