@@ -1,0 +1,194 @@
+"""Deterministic Common-Crawl-style web-page corpus with planted
+near-duplicate clusters (FIXTURES.md §3; BASELINE.json input_hint).
+
+Schema: url:string, warc_ts:timestamp, html:binary, text:string,
+lang:string — plus unique_id and a ground-truth entity_id (label; never
+a model input). A labels table gives pairwise ground truth.
+
+Planted structure:
+- entities get 1..max_copies pages (recrawls/mirrors);
+- url variants: query strings, mirror domains (exercises the url-domain
+  blocking key);
+- text corruption: token dropout/insertion (exercises shingle-MinHash);
+- title jitter: case/punctuation (exercises the normalized-title key);
+- domain popularity is Zipf-skewed (hot-key skew exercise).
+
+``html`` is the deterministic wrapper
+``<html><title>{t}</title><body>{text}</body></html>`` utf-8 encoded;
+the byte-identity invariant is that extracting text from html
+reproduces the ``text`` column exactly.
+
+Everything derives from a seeded numpy Generator — same seed, same
+corpus, at any scale.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_VOCAB = [
+    # small english-ish vocabulary; enough distinct words that random
+    # 40-120-token docs rarely collide on 3-shingles
+    w + s
+    for w in (
+        "data spark table query scan merge sort join filter group index "
+        "page web crawl text token shingle hash block match cluster score "
+        "model train probability weight edge graph node link record field "
+        "value store batch stream row column engine plan stage task core "
+        "memory disk network partition shuffle broadcast skew salt key "
+        "domain title body anchor href image video audio frame sample "
+        "signal noise alpha beta gamma delta epsilon theta lambda sigma"
+    ).split()
+    for s in ("", "s", "er", "ing")
+]
+
+_TLDS = ["com", "org", "net", "io", "dev"]
+
+
+def generate_corpus(
+    n_entities: int = 200,
+    seed: int = 42,
+    max_copies: int = 4,
+    n_domains: int = 40,
+    dropout: float = 0.04,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Returns (pages_df, labels_df) as pandas frames.
+
+    pages: unique_id, url, warc_ts, html(bytes), text, lang, title,
+           entity_id
+    labels: unique_id_l, unique_id_r, is_match — all positive pairs plus
+            same-domain negative pairs (ground truth at the fixed
+            blocking keys).
+    """
+    rng = np.random.default_rng(seed)
+    vocab = np.array(_VOCAB)
+
+    # Zipf-skewed domain popularity
+    ranks = np.arange(1, n_domains + 1)
+    dom_p = (1.0 / ranks) / (1.0 / ranks).sum()
+    domains = np.array(
+        [
+            f"site{i}.{_TLDS[i % len(_TLDS)]}"
+            for i in range(n_domains)
+        ]
+    )
+    langs = np.array(["en", "en", "en", "es", "fr", "de"])
+
+    rows = []
+    uid = 0
+    base_ts = datetime(2025, 1, 1, tzinfo=timezone.utc).timestamp()
+    for e in range(n_entities):
+        n_tok = int(rng.integers(40, 120))
+        base_tokens = vocab[rng.integers(0, len(vocab), n_tok)]
+        title_tokens = vocab[rng.integers(0, len(vocab), int(rng.integers(3, 7)))]
+        base_title = " ".join(title_tokens).title()
+        domain = domains[rng.choice(n_domains, p=dom_p)]
+        lang = str(langs[rng.integers(0, len(langs))])
+        path = "/".join(vocab[rng.integers(0, len(vocab), 2)])
+        n_copies = int(rng.integers(1, max_copies + 1))
+        for c in range(n_copies):
+            toks = base_tokens
+            title = base_title
+            page_domain = domain
+            url = f"https://{domain}/{path}"
+            if c > 0:
+                # token dropout + insertion (near-dup, not exact)
+                keep = rng.random(len(toks)) > dropout
+                toks = toks[keep]
+                n_ins = int(rng.integers(0, 3))
+                if n_ins:
+                    ins_pos = rng.integers(0, max(len(toks), 1), n_ins)
+                    toks = np.insert(
+                        toks, ins_pos, vocab[rng.integers(0, len(vocab), n_ins)]
+                    )
+                # title jitter: case + punctuation
+                jitter = int(rng.integers(0, 3))
+                if jitter == 1:
+                    title = base_title.upper()
+                elif jitter == 2:
+                    title = base_title.lower().replace(" ", " - ", 1)
+                # url variant: query string or mirror domain
+                variant = int(rng.integers(0, 3))
+                if variant == 0:
+                    url = f"https://{domain}/{path}?ref={c}"
+                elif variant == 1:
+                    page_domain = "mirror-" + domain
+                    url = f"https://{page_domain}/{path}"
+                else:
+                    url = f"https://{domain}/{path}#s{c}"
+            text = " ".join(toks.tolist())
+            html = (
+                f"<html><title>{title}</title><body>{text}</body></html>"
+            ).encode("utf-8")
+            ts = datetime.fromtimestamp(
+                base_ts + float(rng.integers(0, 180 * 86400)), tz=timezone.utc
+            )
+            rows.append(
+                (uid, url, ts, html, text, lang, title, e, str(domain))
+            )
+            uid += 1
+
+    pages = pd.DataFrame(
+        rows,
+        columns=[
+            "unique_id",
+            "url",
+            "warc_ts",
+            "html",
+            "text",
+            "lang",
+            "title",
+            "entity_id",
+            "base_domain",
+        ],
+    )
+
+    # labels: all positive pairs + same-base-domain negative pairs
+    pos = pages.merge(pages, on="entity_id", suffixes=("_l", "_r"))
+    pos = pos[pos.unique_id_l < pos.unique_id_r][
+        ["unique_id_l", "unique_id_r"]
+    ].assign(is_match=True)
+    neg = pages.merge(pages, on="base_domain", suffixes=("_l", "_r"))
+    neg = neg[
+        (neg.unique_id_l < neg.unique_id_r)
+        & (neg.entity_id_l != neg.entity_id_r)
+    ][["unique_id_l", "unique_id_r"]].assign(is_match=False)
+    labels = pd.concat([pos, neg], ignore_index=True)
+    return pages.drop(columns=["base_domain"]), labels
+
+
+_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("unique_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("title", T.StringType(), False),
+        T.StructField("entity_id", T.LongType(), False),
+    ]
+)
+
+_LABELS_SCHEMA = T.StructType(
+    [
+        T.StructField("unique_id_l", T.LongType(), False),
+        T.StructField("unique_id_r", T.LongType(), False),
+        T.StructField("is_match", T.BooleanType(), False),
+    ]
+)
+
+
+def corpus_dataframes(
+    spark: SparkSession, n_entities: int = 200, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    pages, labels = generate_corpus(n_entities=n_entities, seed=seed)
+    return (
+        spark.createDataFrame(pages, schema=_PAGES_SCHEMA),
+        spark.createDataFrame(labels, schema=_LABELS_SCHEMA),
+    )

@@ -1,0 +1,264 @@
+"""Web-text key generators and text analysis (north-rule additions).
+
+These are NOT in the reference (splink has no text layer); they are the
+blocking-key generators BASELINE.json names (url-domain, normalized
+title, shingled-text MinHash) plus the training-data-pipeline text
+analysis ops (language-ID heuristic, quality scoring, token counting,
+document fingerprinting). All are pure native column expressions — no
+UDFs — so they stay inside whole-stage codegen and are also expressible
+in ANSI SQL for the DuckDB oracle.
+
+MinHash design: the hash family is ``md5(shingle || '#' || i)`` for
+band i, and the band value is the *lexicographic minimum* of the hex
+digests — a valid uniform min-hash that both Spark and DuckDB compute
+identically (md5 and string min agree byte-for-byte), making the whole
+signature oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# normalization + keys
+# ---------------------------------------------------------------------------
+
+def normalize_text(col: Column | str) -> Column:
+    """lowercase, strip punctuation to spaces, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def normalize_text_sql(col: str) -> str:
+    """DuckDB-equivalent of :func:`normalize_text`."""
+    return (
+        "trim(regexp_replace(regexp_replace(lower(" + col + "), "
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+
+
+def url_domain(col: Column | str) -> Column:
+    """Blocking key: host part of a url (native parse_url)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.parse_url(c, F.lit("HOST"))
+
+
+def url_domain_sql(col: str) -> str:
+    return f"regexp_extract({col}, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)"
+
+
+def tokens(col: Column | str) -> Column:
+    """whitespace tokens of normalized text."""
+    return F.split(normalize_text(col), r"\s")
+
+
+def tokens_sql(col: str) -> str:
+    return f"string_split({normalize_text_sql(col)}, ' ')"
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """k-word shingles of normalized text, as an array of strings.
+
+    transform(sequence(...)) keeps this native: the shingle at position
+    i is concat of tokens[i..i+k-1].
+    """
+    t = tokens(col)
+    n = F.size(t)
+    return F.when(n < k, F.array(F.concat_ws(" ", t))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        )
+    )
+
+
+def word_shingles_sql(col: str, k: int = 3) -> str:
+    t = tokens_sql(col)
+    return (
+        f"CASE WHEN len({t}) < {k} THEN [array_to_string({t}, ' ')] "
+        f"ELSE list_transform(generate_series(1, len({t}) - {k - 1}), "
+        f"i -> array_to_string(list_slice({t}, i, i + {k - 1}), ' ')) END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash (md5-based, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def minhash_band(shingles: Column, band: int) -> Column:
+    """min over md5(shingle + '#' + band) — one band of the signature."""
+    return F.array_min(
+        F.transform(
+            shingles, lambda s: F.md5(F.concat(s, F.lit(f"#{band}")))
+        )
+    )
+
+
+def minhash_signature(col: Column | str, num_bands: int = 8, k: int = 3) -> list[Column]:
+    sh = word_shingles(col, k)
+    return [minhash_band(sh, b).alias(f"minhash_{b}") for b in range(num_bands)]
+
+
+def minhash_band_sql(col: str, band: int, k: int = 3) -> str:
+    sh = word_shingles_sql(col, k)
+    return (
+        f"list_min(list_transform({sh}, s -> md5(s || '#{band}')))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Spark-side only; no clean ANSI expression)
+# ---------------------------------------------------------------------------
+
+def simhash64(col: Column | str, k: int = 3) -> Column:
+    """64-bit SimHash over word shingles using xxhash64: for each bit,
+    sign of sum over shingles of (bit set ? +1 : -1). Native column math
+    via per-bit aggregation over the shingle array."""
+    sh = word_shingles(col, k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    bits = []
+    for bit in range(64):
+        # count of shingles with this bit set, minus half the total
+        set_cnt = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1)).cast("int"),
+        )
+        bit_on = (set_cnt * 2 >= F.size(sh)).cast("long")
+        bits.append(F.shiftleft(bit_on, bit))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (bit_count native)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# text analysis (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+_LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "dans"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "mit", "ein"],
+}
+
+
+def langid_scores(col: Column | str) -> dict[str, Column]:
+    """Stopword-hit share per language — a cheap n-gram-style heuristic.
+
+    score_lang = (# tokens that are stopwords of lang) / (# tokens).
+    """
+    t = tokens(col)
+    out = {}
+    for lang, words in _LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.array_intersect(F.array_distinct(t), arr))
+        out[lang] = (hits / F.greatest(F.size(t), F.lit(1))).alias(
+            f"score_{lang}"
+        )
+    return out
+
+
+def langid_best(col: Column | str) -> Column:
+    """argmax language by stopword share ('und' if all zero)."""
+    scores = langid_scores(col)
+    pairs = [
+        F.struct(expr.alias("score"), F.lit(lang).alias("lang"))
+        for lang, expr in scores.items()
+    ]
+    best = F.array_max(F.array(*pairs))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count of normalized text."""
+    t = tokens(col)
+    return F.when(
+        (F.col(col) if isinstance(col, str) else col).isNull(), F.lit(None)
+    ).otherwise(
+        F.when(F.size(t) == 1, (F.length(F.element_at(t, 1)) > 0).cast("int"))
+        .otherwise(F.size(t))
+    ).cast("long")
+
+
+def token_count_sql(col: str) -> str:
+    t = tokens_sql(col)
+    return (
+        f"CASE WHEN {col} IS NULL THEN NULL "
+        f"WHEN len({t}) = 1 THEN CASE WHEN length({t}[1]) > 0 THEN 1 ELSE 0 END "
+        f"ELSE len({t}) END"
+    )
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: split on word boundaries AND digit/
+    letter transitions — a cheap proxy for BPE token counts."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(c, r"([a-zA-Z])(\d)|(\d)([a-zA-Z])", r"$1$3 $2$4"),
+                r"[^\w]+",
+                " ",
+            )
+        ),
+        r"\s+",
+    )
+    return F.when(c.isNull(), F.lit(None)).otherwise(
+        F.size(F.filter(pieces, lambda p: F.length(p) > 0))
+    ).cast("long")
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring features: length, token count, mean token length,
+    punctuation ratio, stopword ratio (en), uppercase ratio."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(col)
+    n_chars = F.length(c)
+    n_tokens = token_count(col)
+    punct = F.length(F.regexp_replace(c, r"[\w\s]", ""))
+    upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    en = F.array(*[F.lit(w) for w in _LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(t, lambda x: F.array_contains(en, x)))
+    return {
+        "n_chars": n_chars.cast("long").alias("n_chars"),
+        "n_tokens": n_tokens.alias("n_tokens"),
+        "mean_token_len": (
+            F.length(normalize_text(col)) / F.greatest(n_tokens, F.lit(1))
+        ).alias("mean_token_len"),
+        "punct_ratio": (punct / F.greatest(n_chars, F.lit(1))).alias(
+            "punct_ratio"
+        ),
+        "upper_ratio": (upper / F.greatest(n_chars, F.lit(1))).alias(
+            "upper_ratio"
+        ),
+        "stopword_ratio": (
+            stop_hits / F.greatest(n_tokens, F.lit(1))
+        ).alias("stopword_ratio"),
+    }
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text —
+    identical in DuckDB (exact-dedup key)."""
+    return F.md5(normalize_text(col))
+
+
+def doc_fingerprint_sql(col: str) -> str:
+    return f"md5({normalize_text_sql(col)})"
+
+
+def normalized_title_key(col: Column | str) -> Column:
+    """Blocking key for titles: normalized text with spaces removed."""
+    return F.regexp_replace(normalize_text(col), r"\s", "")

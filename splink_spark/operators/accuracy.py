@@ -1,0 +1,148 @@
+"""O22 — accuracy / truth-space metrics.
+
+reference: splink/accuracy.py::
+truth_space_table_from_labels_with_predictions_sqls.
+
+Spark-first: instead of the reference's per-threshold self-joins, sort
+label-joined predictions by match_weight descending once and take
+cumulative sums over a window — every distinct weight becomes a
+threshold row with TP/FP/FN/TN, precision, recall, F1 (one shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def join_labels_to_predictions(
+    predictions: DataFrame,
+    labels: DataFrame,
+    left: str = "unique_id_l",
+    right: str = "unique_id_r",
+) -> DataFrame:
+    """Outer join on the (ordered) pair key: pairs the model never scored
+    count as weight -inf (never predicted matches)."""
+    return labels.join(
+        predictions.select(left, right, "match_weight", "match_probability"),
+        on=[left, right],
+        how="left",
+    ).withColumn(
+        "match_weight", F.coalesce("match_weight", F.lit(float("-inf")))
+    )
+
+
+def truth_space_table(
+    predictions: DataFrame,
+    labels: DataFrame,
+    left: str = "unique_id_l",
+    right: str = "unique_id_r",
+) -> DataFrame:
+    """One row per distinct match_weight threshold with confusion counts.
+
+    At threshold w: predicted positive = match_weight >= w.
+    """
+    joined = join_labels_to_predictions(predictions, labels, left, right)
+    totals = joined.agg(
+        F.sum(F.col("is_match").cast("long")).alias("P"),
+        F.sum((~F.col("is_match")).cast("long")).alias("N"),
+    ).collect()[0]
+    P, N = int(totals["P"] or 0), int(totals["N"] or 0)
+
+    w = Window.orderBy(F.desc("match_weight")).rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    per_weight = (
+        joined.groupBy("match_weight")
+        .agg(
+            F.sum(F.col("is_match").cast("long")).alias("pos_here"),
+            F.sum((~F.col("is_match")).cast("long")).alias("neg_here"),
+        )
+    )
+    out = (
+        per_weight.withColumn("tp", F.sum("pos_here").over(w))
+        .withColumn("fp", F.sum("neg_here").over(w))
+        .withColumn("fn", F.lit(P) - F.col("tp"))
+        .withColumn("tn", F.lit(N) - F.col("fp"))
+        .withColumn(
+            "precision",
+            F.when(
+                (F.col("tp") + F.col("fp")) > 0,
+                F.col("tp") / (F.col("tp") + F.col("fp")),
+            ).otherwise(F.lit(1.0)),
+        )
+        .withColumn(
+            "recall",
+            F.when(F.lit(P) > 0, F.col("tp") / F.lit(P)).otherwise(F.lit(1.0)),
+        )
+        .withColumn(
+            "f1",
+            F.when(
+                (F.col("precision") + F.col("recall")) > 0,
+                2
+                * F.col("precision")
+                * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(
+            F.col("match_weight").alias("threshold_weight"),
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            "precision",
+            "recall",
+            "f1",
+        )
+        .orderBy(F.desc("threshold_weight"))
+    )
+    return out
+
+
+def pairwise_f1_from_clusters(
+    clusters: DataFrame,
+    labels: DataFrame,
+    uid: str = "unique_id",
+    left: str = "unique_id_l",
+    right: str = "unique_id_r",
+) -> dict[str, float]:
+    """Pairwise precision/recall/F1 of cluster assignments against a
+    labeled pair table (the BASELINE.json acceptance metric)."""
+    c = clusters.select(uid, "cluster_id")
+    joined = (
+        labels.join(
+            c.withColumnRenamed(uid, left).withColumnRenamed(
+                "cluster_id", "cluster_l"
+            ),
+            left,
+        )
+        .join(
+            c.withColumnRenamed(uid, right).withColumnRenamed(
+                "cluster_id", "cluster_r"
+            ),
+            right,
+        )
+        .withColumn("pred", F.col("cluster_l") == F.col("cluster_r"))
+    )
+    row = joined.agg(
+        F.sum((F.col("pred") & F.col("is_match")).cast("long")).alias("tp"),
+        F.sum((F.col("pred") & ~F.col("is_match")).cast("long")).alias("fp"),
+        F.sum((~F.col("pred") & F.col("is_match")).cast("long")).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = (int(row[x] or 0) for x in ("tp", "fp", "fn"))
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall
+        else 0.0
+    )
+    return {
+        "tp": tp,
+        "fp": fp,
+        "fn": fn,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }

@@ -94,13 +94,16 @@ def connected_components(
     """Resolve components; returns (unique_id, cluster_id) for every node
     appearing in the edge table. cluster_id = min node id in the component.
     """
-    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    # node universe from the RAW edges (before dropping self-loops), so a
+    # node appearing only in a self-loop still gets a singleton cluster
     all_nodes = (
-        e.select(F.col("u").alias("unique_id"))
-        .unionByName(e.select(F.col("v").alias("unique_id")))
+        edges.select(F.col(src).alias("unique_id"))
+        .unionByName(edges.select(F.col(dst).alias("unique_id")))
+        .filter(F.col("unique_id").isNotNull())
         .distinct()
         .localCheckpoint(eager=True)
     )
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
 
     sig = _signature(e)
     for _ in range(max_iterations):

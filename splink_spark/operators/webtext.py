@@ -1,0 +1,140 @@
+"""Web-text layer: html→text extraction and blocking-key derivation.
+
+The north rule's input is an Iceberg/parquet table of Common-Crawl-style
+pages (url, warc_ts, html:binary, text:string, lang). This module:
+
+- extracts text/title from the html wrapper **byte-identically** (the
+  per-row invariant: where ``text`` is provided it must equal the
+  extraction output exactly);
+- derives the three fixed blocking keys BASELINE.json names:
+  url-domain, normalized-title, shingled-text MinHash bands;
+- assembles the Settings for the web dedupe model.
+
+All key derivation is native column expressions (no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from splink_spark.functions.text import (
+    minhash_band,
+    normalize_text,
+    normalized_title_key,
+    url_domain,
+    word_shingles,
+)
+from splink_spark.model import BlockingRule, Comparison, Settings
+from splink_spark.functions.comparators import (
+    else_level,
+    exact_match_level,
+    jaccard_tokens_level,
+    null_level,
+)
+
+
+def extract_text_from_html(html_col: Column | str) -> Column:
+    """Decode utf-8 html and extract the <body> payload.
+
+    The fixture contract (FIXTURES.md §3): html is the wrapper
+    ``<html><title>..</title><body>..</body></html>``; the extraction
+    must reproduce the stored ``text`` byte-identically. DOTALL so body
+    text may span newlines.
+    """
+    decoded = F.decode(html_col if not isinstance(html_col, str) else F.col(html_col), "UTF-8")
+    return F.regexp_extract(decoded, r"(?s)<body>(.*)</body>", 1)
+
+
+def extract_title_from_html(html_col: Column | str) -> Column:
+    decoded = F.decode(html_col if not isinstance(html_col, str) else F.col(html_col), "UTF-8")
+    return F.regexp_extract(decoded, r"(?s)<title>(.*?)</title>", 1)
+
+
+def with_blocking_keys(
+    pages: DataFrame,
+    text_col: str = "text",
+    title_col: str = "title",
+    url_col: str = "url",
+    minhash_bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Append the three fixed blocking keys as columns:
+    ``bk_domain``, ``bk_title``, ``bk_minhash_0..n``.
+
+    Mirror domains (``mirror-site.com``) normalize to their base domain
+    so recrawl/mirror duplicates land in the same block.
+    """
+    out = pages
+    if title_col not in pages.columns and "html" in pages.columns:
+        out = out.withColumn(title_col, extract_title_from_html("html"))
+    dom = url_domain(url_col)
+    out = out.withColumn(
+        "bk_domain", F.regexp_replace(dom, r"^mirror-", "")
+    )
+    out = out.withColumn("bk_title", normalized_title_key(title_col))
+    sh = word_shingles(text_col, shingle_k)
+    for b in range(minhash_bands):
+        out = out.withColumn(f"bk_minhash_{b}", minhash_band(sh, b))
+    return out
+
+
+def web_dedupe_settings(
+    minhash_bands: int = 4,
+    prior: float = 1e-4,
+) -> Settings:
+    """The flagship web dedupe model over derived keys.
+
+    Blocking: same (base) domain AND same normalized title, OR any
+    matching MinHash band (near-dup text). Comparisons: token Jaccard on
+    text at two thresholds, exact normalized title, same domain.
+    """
+    comparisons = [
+        Comparison(
+            output_column_name="text",
+            input_columns=["text_norm"],
+            levels=[
+                null_level("text_norm"),
+                jaccard_tokens_level("text_norm", 0.9, m=0.90, u=1e-4),
+                jaccard_tokens_level("text_norm", 0.6, m=0.08, u=1e-3),
+                else_level(m=0.02, u=0.9989),
+            ],
+        ),
+        Comparison(
+            output_column_name="title",
+            input_columns=["bk_title"],
+            levels=[
+                null_level("bk_title"),
+                exact_match_level("bk_title", m=0.85, u=1e-3),
+                else_level(m=0.15, u=0.999),
+            ],
+        ),
+        Comparison(
+            output_column_name="domain",
+            input_columns=["bk_domain"],
+            levels=[
+                null_level("bk_domain"),
+                exact_match_level("bk_domain", m=0.95, u=0.02),
+                else_level(m=0.05, u=0.98),
+            ],
+        ),
+    ]
+    rules = [
+        BlockingRule(rule="l.bk_domain = r.bk_domain AND l.bk_title = r.bk_title"),
+    ]
+    for b in range(minhash_bands):
+        rules.append(
+            BlockingRule(rule=f"l.bk_minhash_{b} = r.bk_minhash_{b}")
+        )
+    return Settings(
+        comparisons=comparisons,
+        blocking_rules=rules,
+        probability_two_random_records_match=prior,
+    )
+
+
+def prepare_pages(pages: DataFrame, minhash_bands: int = 4) -> DataFrame:
+    """Full preparation: verify/extract text, derive keys, normalize."""
+    out = with_blocking_keys(pages, minhash_bands=minhash_bands)
+    out = out.withColumn("text_norm", normalize_text("text"))
+    return out

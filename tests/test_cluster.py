@@ -1,0 +1,96 @@
+"""Connected-components property test vs a union-find oracle.
+
+Replicates the reference's randomized clustering oracle test
+(reference: tests/test_cc_implementation.py — random graphs checked
+against networkx connected_components; we use a dependency-free
+union-find instead, SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from splink_spark.operators.cluster import connected_components
+
+
+class UnionFind:
+    def __init__(self):
+        self.parent = {}
+
+    def find(self, x):
+        self.parent.setdefault(x, x)
+        while self.parent[x] != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+def _oracle(edges):
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    return {n: uf.find(n) for n in uf.parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(
+        edges, "unique_id_l: long, unique_id_r: long"
+    )
+    got = {
+        r["unique_id"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    exp = _oracle(edges)
+    # same partition: compare canonical min-representative
+    assert got == exp, (got, exp)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_graphs_match_union_find(spark, seed):
+    rnd = random.Random(seed)
+    n = 120
+    p = rnd.choice([0.002, 0.01, 0.05])
+    edges = [
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if rnd.random() < p
+    ]
+    if not edges:
+        edges = [(0, 1)]
+    _check(spark, edges)
+
+
+def test_chain_cycle_selfloop_duplicate(spark):
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain
+        (10, 11), (11, 12), (12, 10),    # cycle
+        (20, 20),                        # self-loop
+        (30, 31), (30, 31), (31, 30),    # duplicates both orders
+    ]
+    df = spark.createDataFrame(edges, "unique_id_l: long, unique_id_r: long")
+    got = {
+        r["unique_id"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got[1] == got[2] == got[3] == got[4] == 1
+    assert got[10] == got[11] == got[12] == 10
+    assert got[30] == got[31] == 30
+    # self-loop-only node is its own singleton
+    assert got[20] == 20
+
+
+def test_giant_component(spark):
+    rnd = random.Random(99)
+    # one giant star + noise chains
+    edges = [(0, i) for i in range(1, 200)]
+    edges += [(1000 + i, 1001 + i) for i in range(0, 50, 2)]
+    rnd.shuffle(edges)
+    _check(spark, edges)

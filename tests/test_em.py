@@ -1,0 +1,131 @@
+"""EM core vs an independent numpy reference + planted-mixture recovery
+(SURVEY.md §5.3: numeric convergence tests,
+reference: tests/test_u_train.py / test_correctness_of_convergence.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from splink_spark.operators.training import em_fit
+
+
+def _naive_em_once(patterns, counts, m, u, lam):
+    """Independent single-iteration reference (loops, no vectorization)."""
+    n, C = patterns.shape
+    probs = np.zeros(n)
+    for i in range(n):
+        pm, pu = lam, 1 - lam
+        for c in range(C):
+            g = patterns[i, c]
+            if g == -1:
+                continue
+            pm *= m[c][g]
+            pu *= u[c][g]
+        probs[i] = pm / (pm + pu)
+    new_m = []
+    new_u = []
+    for c in range(C):
+        K = len(m[c])
+        nm = np.zeros(K)
+        nu = np.zeros(K)
+        dm = du = 0.0
+        for i in range(n):
+            g = patterns[i, c]
+            if g == -1:
+                continue
+            nm[g] += probs[i] * counts[i]
+            nu[g] += (1 - probs[i]) * counts[i]
+            dm += probs[i] * counts[i]
+            du += (1 - probs[i]) * counts[i]
+        new_m.append(nm / dm)
+        new_u.append(nu / du)
+    new_lam = (probs * counts).sum() / counts.sum()
+    return new_m, new_u, new_lam
+
+
+def test_em_single_iteration_matches_naive():
+    rng = np.random.default_rng(3)
+    C, K = 3, 3
+    patterns = np.array(
+        [list(p) for p in np.ndindex(K, K, K)], dtype=np.int64
+    )
+    # add some null gammas
+    patterns = np.vstack([patterns, [[-1, 0, 2], [1, -1, -1]]])
+    counts = rng.integers(1, 100, len(patterns)).astype(np.float64)
+    m = [np.array([0.1, 0.2, 0.7])] * C
+    u = [np.array([0.7, 0.2, 0.1])] * C
+    lam = 0.3
+    res = em_fit(
+        patterns, counts, [K] * C, m, u, lam, max_iterations=1, tol=0.0
+    )
+    em, eu, elam = _naive_em_once(patterns, counts, m, u, lam)
+    for c in range(C):
+        np.testing.assert_allclose(res.m[c], em[c], atol=1e-12)
+        np.testing.assert_allclose(res.u[c], eu[c], atol=1e-12)
+    assert res.lam == pytest.approx(elam, abs=1e-12)
+
+
+def test_em_recovers_planted_mixture():
+    """Generate a histogram from known m/u/lambda; EM from a perturbed
+    start must recover the parameters. Three comparisons: a 2-component
+    mixture of independent categoricals needs >= 3 observed variables to
+    be identifiable (with 2 the likelihood has a ridge and EM lands on a
+    different parameterization of the same distribution)."""
+    true_m = [
+        np.array([0.05, 0.15, 0.8]),
+        np.array([0.1, 0.9]),
+        np.array([0.2, 0.8]),
+    ]
+    true_u = [
+        np.array([0.85, 0.1, 0.05]),
+        np.array([0.95, 0.05]),
+        np.array([0.9, 0.1]),
+    ]
+    true_lam = 0.2
+    N = 2_000_000
+    patterns = np.array(
+        [[a, b, c] for a in range(3) for b in range(2) for c in range(2)],
+        dtype=np.int64,
+    )
+    counts = np.zeros(len(patterns))
+    for i, (a, b, c) in enumerate(patterns):
+        p_match = true_lam * true_m[0][a] * true_m[1][b] * true_m[2][c]
+        p_non = (1 - true_lam) * true_u[0][a] * true_u[1][b] * true_u[2][c]
+        counts[i] = N * (p_match + p_non)
+
+    m0 = [np.array([0.2, 0.2, 0.6]), np.array([0.3, 0.7]), np.array([0.4, 0.6])]
+    u0 = [np.array([0.6, 0.3, 0.1]), np.array([0.7, 0.3]), np.array([0.6, 0.4])]
+    res = em_fit(
+        patterns, counts, [3, 2, 2], m0, u0, 0.5, tol=1e-12,
+        max_iterations=2000,
+    )
+    assert res.converged
+    np.testing.assert_allclose(res.lam, true_lam, atol=1e-3)
+    for c in range(3):
+        np.testing.assert_allclose(res.m[c], true_m[c], atol=1e-3)
+        np.testing.assert_allclose(res.u[c], true_u[c], atol=1e-3)
+
+
+def test_em_fixed_u_only_trains_m():
+    patterns = np.array([[0], [1]], dtype=np.int64)
+    counts = np.array([50.0, 50.0])
+    u0 = [np.array([0.6, 0.4])]
+    res = em_fit(
+        patterns, counts, [2], [np.array([0.4, 0.6])], u0, 0.5,
+        fixed_u=True, max_iterations=5, tol=0.0,
+    )
+    np.testing.assert_allclose(res.u[0], u0[0])
+
+
+def test_em_empty_histogram_no_crash():
+    res = em_fit(
+        np.zeros((0, 1), dtype=np.int64),
+        np.zeros(0),
+        [2],
+        [np.array([0.5, 0.5])],
+        [np.array([0.5, 0.5])],
+        0.3,
+    )
+    assert res.converged

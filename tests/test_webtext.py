@@ -1,0 +1,88 @@
+"""End-to-end web dedupe: byte-identity invariant and pairwise F1 >= 0.99
+at the fixed blocking keys (BASELINE.json acceptance)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from splink_spark.fixtures.webpages import corpus_dataframes, generate_corpus
+from splink_spark.functions.text import (
+    minhash_band_sql,
+    doc_fingerprint,
+    doc_fingerprint_sql,
+)
+from splink_spark.operators.accuracy import pairwise_f1_from_clusters
+from splink_spark.operators.webtext import (
+    extract_text_from_html,
+    extract_title_from_html,
+    prepare_pages,
+    web_dedupe_settings,
+)
+from splink_spark.plans.linker import Linker
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return corpus_dataframes(spark, n_entities=250, seed=42)
+
+
+def test_text_extraction_byte_identical(corpus):
+    pages, _ = corpus
+    ext = pages.withColumn("ext", extract_text_from_html("html"))
+    assert ext.filter("ext != text").count() == 0
+    t = pages.withColumn("t2", extract_title_from_html("html"))
+    assert t.filter("t2 != title").count() == 0
+
+
+def test_end_to_end_f1(corpus):
+    pages, labels = corpus
+    prepared = prepare_pages(pages)
+    linker = Linker(prepared, web_dedupe_settings())
+    preds = linker.predict(threshold_match_probability=0.5)
+    clusters = linker.cluster_pairwise_predictions_at_threshold(preds, 0.9)
+    m = pairwise_f1_from_clusters(clusters, labels)
+    assert m["f1"] >= 0.99, m
+
+
+def test_minhash_band_matches_duckdb(spark):
+    pages, _ = generate_corpus(n_entities=30, seed=5)
+    sdf = spark.createDataFrame(pages[["unique_id", "text"]])
+    from splink_spark.functions.text import word_shingles, minhash_band
+
+    got = {
+        r["unique_id"]: r["mh"]
+        for r in sdf.select(
+            "unique_id", minhash_band(word_shingles("text", 3), 0).alias("mh")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("pages", pages[["unique_id", "text"]])
+    exp = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"select unique_id, {minhash_band_sql('text', 0, 3)} from pages"
+        ).fetchall()
+    }
+    assert got == exp
+
+
+def test_fingerprint_matches_duckdb(spark):
+    pages, _ = generate_corpus(n_entities=20, seed=6)
+    sdf = spark.createDataFrame(pages[["unique_id", "text"]])
+    got = {
+        r["unique_id"]: r["fp"]
+        for r in sdf.select(
+            "unique_id", doc_fingerprint("text").alias("fp")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("pages", pages[["unique_id", "text"]])
+    exp = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"select unique_id, {doc_fingerprint_sql('text')} from pages"
+        ).fetchall()
+    }
+    assert got == exp
