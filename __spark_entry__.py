@@ -1,38 +1,804 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship dedupe on sf0.001; ``queries()`` maps
+operator names (SURVEY.md §2) to (spark, sf_dir) callables; ``oracle_sql()``
+gives the DuckDB-equivalent SQL. Oracle SQL is generated from the SAME
+Settings objects as the Spark plans (gamma_sql / match_weight_sql use the
+levels' oracle conditions), so model constants can never drift between the
+two sides.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splink_spark.functions.comparators import (
+    else_level,
+    exact_match_level,
+    null_level,
+    percentage_difference_level,
+)
+from splink_spark.functions.text import (
+    doc_fingerprint,
+    doc_fingerprint_sql,
+    langid_scores,
+    minhash_band_sql,
+    quality_features,
+    token_count,
+    token_count_sql,
+    word_shingles_sql,
+)
+from splink_spark.model import BlockingRule, Comparison, ComparisonLevel, Settings
+from splink_spark.operators.blocking import block_census, block_using_rules
+from splink_spark.operators.cluster import connected_components
+from splink_spark.operators.concat import vertically_concatenate
+from splink_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    shingle_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from splink_spark.operators.predict import (
+    match_weight_sql,
+    predict_from_comparison_vectors,
+)
+from splink_spark.operators.profile import missingness, profile_column_values
+from splink_spark.operators.similarity import brute_force_topk, lsh_topk
+from splink_spark.operators.accuracy import truth_space_table
+from splink_spark.operators.tf import join_term_frequencies, term_frequency_table
+from splink_spark.operators.training import (
+    estimate_probability_two_random_records_match,
+)
+from splink_spark.operators.vectors import (
+    comparison_vector_sql_projection,
+    compute_comparison_vectors,
+)
+
+# ---------------------------------------------------------------------------
+# shared model over the `documents` table
+# ---------------------------------------------------------------------------
+
+DOC_UID = "doc_id"
+DOC_COLS = ["lang", "source", "n_chars", "text"]
+
+RULE_1 = BlockingRule(rule="l.source = r.source AND l.lang = r.lang")
+RULE_2 = BlockingRule(rule="l.lang = r.lang AND l.n_chars = r.n_chars")
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def documents_settings() -> Settings:
+    return Settings(
+        unique_id_column_name=DOC_UID,
+        probability_two_random_records_match=0.01,
+        blocking_rules=[RULE_1, RULE_2],
+        comparisons=[
+            Comparison(
+                "lang",
+                input_columns=["lang"],
+                levels=[
+                    null_level("lang"),
+                    exact_match_level("lang", m=0.9, u=0.2),
+                    else_level(m=0.1, u=0.8),
+                ],
+            ),
+            Comparison(
+                "source",
+                input_columns=["source"],
+                levels=[
+                    null_level("source"),
+                    exact_match_level("source", m=0.85, u=0.05),
+                    else_level(m=0.15, u=0.95),
+                ],
+            ),
+            Comparison(
+                "n_chars",
+                input_columns=["n_chars"],
+                levels=[
+                    null_level("n_chars"),
+                    percentage_difference_level("n_chars", 0.02, m=0.7, u=0.04),
+                    else_level(m=0.3, u=0.96),
+                ],
+            ),
+            Comparison(
+                "text",
+                input_columns=["text"],
+                levels=[
+                    null_level("text"),
+                    ComparisonLevel(
+                        label="text prefix lev <= 5",
+                        condition=(
+                            "levenshtein(substring(text_l, 1, 20), "
+                            "substring(text_r, 1, 20), 5) BETWEEN 0 AND 5"
+                        ),
+                        sql_condition=(
+                            "levenshtein(substring(text_l, 1, 20), "
+                            "substring(text_r, 1, 20)) <= 5"
+                        ),
+                        m_probability=0.8,
+                        u_probability=0.01,
+                    ),
+                    else_level(m=0.2, u=0.99),
+                ],
+            ),
+        ],
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _pairs_sql(rules: list[BlockingRule], retain: list[str]) -> str:
+    """DuckDB pair-table SQL mirroring block_using_rules (ordering,
+    match_key, NOT-previous-rules dedup)."""
+    sel_cols = [
+        f"l.{DOC_UID} AS {DOC_UID}_l",
+        f"r.{DOC_UID} AS {DOC_UID}_r",
+    ]
+    for c in retain:
+        sel_cols.append(f"l.{c} AS {c}_l")
+        sel_cols.append(f"r.{c} AS {c}_r")
+    parts = []
+    for i, br in enumerate(rules):
+        conds = [f"({br.oracle_rule})", f"(l.{DOC_UID} < r.{DOC_UID})"]
+        for prev in rules[:i]:
+            conds.append(
+                f"(NOT ({prev.oracle_rule} AND ({prev.oracle_rule}) IS NOT NULL))"
+            )
+        parts.append(
+            f"SELECT {', '.join(sel_cols)}, {i} AS match_key "
+            f"FROM documents l JOIN documents r ON {' AND '.join(conds)}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _planted_dupes(docs: DataFrame) -> DataFrame:
+    """documents plus exact copies of every 10th doc (id + 100000) —
+    deterministic planted duplicates for the dedup operators."""
+    copies = docs.filter(F.col(DOC_UID) % 10 == 0).withColumn(
+        DOC_UID, F.col(DOC_UID) + F.lit(100000)
+    )
+    return docs.unionByName(copies)
+
+
+_PLANTED_SQL = (
+    f"SELECT * FROM documents UNION ALL "
+    f"SELECT {DOC_UID} + 100000 AS {DOC_UID}, text, lang, source, n_chars "
+    f"FROM documents WHERE {DOC_UID} % 10 = 0"
+)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_o1_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    even = docs.filter(F.col(DOC_UID) % 2 == 0)
+    odd = docs.filter(F.col(DOC_UID) % 2 == 1)
+    out = vertically_concatenate({"even": even, "odd": odd})
+    return out.select(DOC_UID, "lang", "source", "n_chars", "source_dataset")
+
+
+def q_o2_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return term_frequency_table(_docs(spark, sf_dir), "lang")
+
+
+def q_o3_concat_with_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tfs = {
+        "lang": term_frequency_table(docs, "lang"),
+        "source": term_frequency_table(docs, "source"),
+    }
+    return join_term_frequencies(docs, tfs).select(
+        DOC_UID, "lang", "source", "tf_lang", "tf_source"
+    )
+
+
+def q_o4_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return block_using_rules(
+        _docs(spark, sf_dir), [RULE_1, RULE_2], uid=DOC_UID
+    ).select(f"{DOC_UID}_l", f"{DOC_UID}_r", "match_key")
+
+
+def q_o5_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    salted = BlockingRule(rule=RULE_1.rule, salting_partitions=4)
+    return block_using_rules(
+        _docs(spark, sf_dir), [salted], uid=DOC_UID
+    ).select(f"{DOC_UID}_l", f"{DOC_UID}_r", "match_key")
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    settings = documents_settings()
+    pairs = block_using_rules(
+        _docs(spark, sf_dir), [RULE_1], uid=DOC_UID, retain_columns=DOC_COLS
+    )
+    return compute_comparison_vectors(pairs, settings)
+
+
+def q_o6_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    settings = documents_settings()
+    return _vectors(spark, sf_dir).select(
+        f"{DOC_UID}_l", f"{DOC_UID}_r", *settings.gamma_columns
+    )
+
+
+def q_o7_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    settings = documents_settings()
+    out = predict_from_comparison_vectors(
+        _vectors(spark, sf_dir), settings
+    )
+    return out.select(
+        f"{DOC_UID}_l",
+        f"{DOC_UID}_r",
+        *settings.gamma_columns,
+        "match_weight",
+        "match_probability",
+    )
+
+
+def q_o8_u_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    settings = documents_settings()
+    docs = _docs(spark, sf_dir).filter(F.col(DOC_UID) % 5 == 0)
+    pairs = (
+        docs.alias("l")
+        .join(docs.alias("r"), F.expr(f"l.{DOC_UID} < r.{DOC_UID}"))
+        .select(
+            F.col(f"l.{DOC_UID}").alias(f"{DOC_UID}_l"),
+            F.col(f"r.{DOC_UID}").alias(f"{DOC_UID}_r"),
+            *[F.col(f"l.{c}").alias(f"{c}_l") for c in DOC_COLS],
+            *[F.col(f"r.{c}").alias(f"{c}_r") for c in DOC_COLS],
+        )
+    )
+    vectors = compute_comparison_vectors(pairs, settings)
+    return vectors.groupBy(*settings.gamma_columns).agg(
+        F.count(F.lit(1)).alias("pattern_count")
+    )
+
+
+def q_o9_gamma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    settings = documents_settings()
+    return (
+        _vectors(spark, sf_dir)
+        .groupBy(*settings.gamma_columns)
+        .agg(F.count(F.lit(1)).alias("pattern_count"))
+    )
+
+
+def q_o14_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    lam = estimate_probability_two_random_records_match(
+        docs, [RULE_1], recall=0.8, uid=DOC_UID
+    )
+    return spark.createDataFrame([(lam,)], "lambda_est: double")
+
+
+def q_o15_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    edges = block_using_rules(
+        docs,
+        [
+            BlockingRule(
+                rule=(
+                    "l.source = r.source AND l.lang = r.lang "
+                    "AND abs(l.n_chars - r.n_chars) <= 2"
+                )
+            )
+        ],
+        uid=DOC_UID,
+    )
+    comps = connected_components(
+        edges, src=f"{DOC_UID}_l", dst=f"{DOC_UID}_r"
+    )
+    return comps.select(
+        F.col("unique_id").alias(DOC_UID), "cluster_id"
+    )
+
+
+def q_o17_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New records (planted copies) scored against the base without
+    re-blocking it: broadcast join path (O17)."""
+    settings = documents_settings()
+    docs = _docs(spark, sf_dir)
+    new = (
+        docs.filter(F.col(DOC_UID) % 10 == 0)
+        .withColumn(DOC_UID, F.col(DOC_UID) + F.lit(100000))
+    )
+    pairs = block_using_rules(
+        docs,
+        [RULE_1],
+        uid=DOC_UID,
+        retain_columns=DOC_COLS,
+        df_right=F.broadcast(new),
+    )
+    preds = predict_from_comparison_vectors(
+        compute_comparison_vectors(pairs, settings), settings
+    )
+    return preds.select(
+        f"{DOC_UID}_l", f"{DOC_UID}_r", "match_weight"
+    )
+
+
+def q_o19_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return block_census(_docs(spark, sf_dir), ["source", "lang"])
+
+
+def q_o21_missingness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return missingness(
+        _docs(spark, sf_dir), ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def q_o21_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_column_values(_docs(spark, sf_dir), "lang", top_k=10)
+
+
+def q_o22_truth_space(spark: SparkSession, sf_dir: str) -> DataFrame:
+    settings = documents_settings()
+    preds = predict_from_comparison_vectors(_vectors(spark, sf_dir), settings)
+    labels = (
+        block_using_rules(
+            _docs(spark, sf_dir), [RULE_1], uid=DOC_UID,
+            retain_columns=["n_chars"],
+        )
+        .select(
+            f"{DOC_UID}_l",
+            f"{DOC_UID}_r",
+            (F.abs(F.col("n_chars_l") - F.col("n_chars_r")) <= 2).alias(
+                "is_match"
+            ),
+        )
+    )
+    return truth_space_table(
+        preds, labels, left=f"{DOC_UID}_l", right=f"{DOC_UID}_r"
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(_planted_dupes(_docs(spark, sf_dir)))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_duplicates(
+        _planted_dupes(_docs(spark, sf_dir)),
+        num_bands=4,
+        shingle_k=3,
+        jaccard_threshold=0.5,
+    ).select(f"{DOC_UID}_l", f"{DOC_UID}_r", "jaccard")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _planted_dupes(_docs(spark, sf_dir))
+    cands = block_using_rules(
+        docs, [BlockingRule("l.source = r.source AND l.lang = r.lang")],
+        uid=DOC_UID,
+    ).select(f"{DOC_UID}_l", f"{DOC_UID}_r")
+    return shingle_jaccard_pairs(docs, cands).filter(
+        F.col("jaccard") >= 0.3
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark-only (64-bit bit-twiddling); verified by pytest, rows-only here
+    return simhash_near_duplicates(
+        _planted_dupes(_docs(spark, sf_dir)), max_hamming=3
+    )
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = brute_force_topk(emb, queries_df, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate path: rows-only (hyperplane literals impractical in SQL)
+    return lsh_topk(_emb(spark, sf_dir), dim=64, k=5, n_planes=4)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    scores = langid_scores("text")
+    return docs.select(
+        DOC_UID,
+        token_count("text").alias("n_tokens"),
+        doc_fingerprint("text").alias("fingerprint"),
+        scores["en"],
+        scores["es"],
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    feats = quality_features("text")
+    return docs.select(
+        DOC_UID,
+        feats["n_chars"].alias("q_chars"),
+        feats["n_tokens"],
+        feats["punct_ratio"],
+        feats["stopword_ratio"],
+    )
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # binary plumbing with the stubbed (deterministic-fake) decoder;
+    # rows-only check
+    from splink_spark.multimodal import extract_features
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col(DOC_UID).alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "media_id", F.size("feature").alias("feature_dim")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "o1_concat": q_o1_concat,
+        "o2_term_frequency": q_o2_tf,
+        "o3_concat_with_tf": q_o3_concat_with_tf,
+        "o4_blocking": q_o4_blocking,
+        "o5_salted_blocking": q_o5_salted,
+        "o6_comparison_vectors": q_o6_vectors,
+        "o7_match_weights": q_o7_predict,
+        "o8_u_histogram": q_o8_u_histogram,
+        "o9_gamma_histogram": q_o9_gamma_histogram,
+        "o14_lambda": q_o14_lambda,
+        "o15_connected_components": q_o15_cluster,
+        "o17_incremental": q_o17_incremental,
+        "o19_block_census": q_o19_census,
+        "o21_missingness": q_o21_missingness,
+        "o21_profile_values": q_o21_profile,
+        "o22_truth_space": q_o22_truth_space,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_topk_bruteforce": q_sim_topk,
+        "sim_topk_lsh": q_sim_lsh_topk,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "multimodal_features": q_multimodal,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    settings = documents_settings()
+    gammas = comparison_vector_sql_projection(settings)
+    gamma_cols = ", ".join(settings.gamma_columns)
+    retain_pairs = _pairs_sql([RULE_1], DOC_COLS)
+    mw = match_weight_sql(settings)
+
+    vectors_sql = (
+        f"SELECT {DOC_UID}_l, {DOC_UID}_r, {', '.join(gammas)} "
+        f"FROM ({retain_pairs}) pairs"
+    )
+    predict_sql = (
+        f"SELECT *, pow(2.0, match_weight) / (1.0 + pow(2.0, match_weight))"
+        f" AS match_probability FROM ("
+        f"SELECT {DOC_UID}_l, {DOC_UID}_r, {gamma_cols}, {mw} AS match_weight"
+        f" FROM ({vectors_sql}) v) w"
+    )
+
+    u_pairs = (
+        f"SELECT l.{DOC_UID} AS {DOC_UID}_l, r.{DOC_UID} AS {DOC_UID}_r, "
+        + ", ".join(
+            f"l.{c} AS {c}_l, r.{c} AS {c}_r" for c in DOC_COLS
+        )
+        + f" FROM (SELECT * FROM documents WHERE {DOC_UID} % 5 = 0) l "
+        f"JOIN (SELECT * FROM documents WHERE {DOC_UID} % 5 = 0) r "
+        f"ON l.{DOC_UID} < r.{DOC_UID}"
+    )
+
+    cc_edges = (
+        f"SELECT l.{DOC_UID} AS u, r.{DOC_UID} AS v FROM documents l "
+        f"JOIN documents r ON l.source = r.source AND l.lang = r.lang "
+        f"AND abs(l.n_chars - r.n_chars) <= 2 AND l.{DOC_UID} < r.{DOC_UID}"
+    )
+    cc_sql = f"""
+        WITH RECURSIVE edges AS ({cc_edges}),
+        sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        nodes AS (SELECT DISTINCT u AS n FROM sym),
+        reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.n, s.v FROM reach r JOIN sym s ON r.m = s.u
+        )
+        SELECT n AS {DOC_UID}, min(m) AS cluster_id FROM reach GROUP BY n
     """
-    return {}
+
+    shingles = word_shingles_sql("text", 3)
+    planted = _PLANTED_SQL
+    mh_keyed = (
+        f"SELECT {DOC_UID}, "
+        + ", ".join(
+            f"{minhash_band_sql('text', b, 3)} AS mh_{b}" for b in range(4)
+        )
+        + " FROM planted d"
+    )
+    mh_cand_parts = []
+    for b in range(4):
+        conds = [f"l.mh_{b} = r.mh_{b}", f"l.{DOC_UID} < r.{DOC_UID}"]
+        for prev in range(b):
+            conds.append(f"NOT (l.mh_{prev} = r.mh_{prev})")
+        mh_cand_parts.append(
+            f"SELECT l.{DOC_UID} AS {DOC_UID}_l, r.{DOC_UID} AS {DOC_UID}_r "
+            f"FROM keyed l JOIN keyed r ON {' AND '.join(conds)}"
+        )
+    mh_cands = " UNION ALL ".join(mh_cand_parts)
+    jaccard_expr = (
+        "len(list_intersect(sl.sh, sr.sh)) / "
+        "(len(sl.sh) + len(sr.sh) - len(list_intersect(sl.sh, sr.sh)))"
+    )
+    minhash_sql = f"""
+        WITH planted AS ({planted}),
+        keyed AS ({mh_keyed}),
+        cands AS ({mh_cands}),
+        sh AS (SELECT {DOC_UID}, list_distinct({shingles}) AS sh FROM planted)
+        SELECT c.{DOC_UID}_l, c.{DOC_UID}_r, {jaccard_expr} AS jaccard
+        FROM cands c
+        JOIN sh sl ON sl.{DOC_UID} = c.{DOC_UID}_l
+        JOIN sh sr ON sr.{DOC_UID} = c.{DOC_UID}_r
+        WHERE {jaccard_expr} >= 0.5
+    """
+
+    ngram_sql = f"""
+        WITH planted AS ({planted}),
+        cands AS (
+            SELECT l.{DOC_UID} AS {DOC_UID}_l, r.{DOC_UID} AS {DOC_UID}_r
+            FROM planted l JOIN planted r
+            ON l.source = r.source AND l.lang = r.lang
+               AND l.{DOC_UID} < r.{DOC_UID}),
+        sh AS (SELECT {DOC_UID}, list_distinct({shingles}) AS sh FROM planted)
+        SELECT c.{DOC_UID}_l, c.{DOC_UID}_r, {jaccard_expr} AS jaccard
+        FROM cands c
+        JOIN sh sl ON sl.{DOC_UID} = c.{DOC_UID}_l
+        JOIN sh sr ON sr.{DOC_UID} = c.{DOC_UID}_r
+        WHERE {jaccard_expr} >= 0.3
+    """
+
+    labels_sql = (
+        f"SELECT {DOC_UID}_l, {DOC_UID}_r, "
+        f"abs(n_chars_l - n_chars_r) <= 2 AS is_match "
+        f"FROM ({_pairs_sql([RULE_1], ['n_chars'])}) p"
+    )
+    truth_sql = f"""
+        WITH preds AS ({predict_sql}),
+        labels AS ({labels_sql}),
+        joined AS (
+            SELECT coalesce(p.match_weight, '-infinity'::DOUBLE) AS mw,
+                   l.is_match
+            FROM labels l LEFT JOIN preds p
+              USING ({DOC_UID}_l, {DOC_UID}_r)),
+        totals AS (
+            SELECT sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS P,
+                   sum(CASE WHEN is_match THEN 0 ELSE 1 END) AS N
+            FROM joined),
+        per AS (
+            SELECT mw,
+                   sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS pos_here,
+                   sum(CASE WHEN is_match THEN 0 ELSE 1 END) AS neg_here
+            FROM joined GROUP BY mw),
+        cum AS (
+            SELECT mw,
+                   sum(pos_here) OVER (ORDER BY mw DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+                   sum(neg_here) OVER (ORDER BY mw DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+            FROM per)
+        SELECT mw AS threshold_weight, tp, fp,
+               (SELECT P FROM totals) - tp AS fn,
+               (SELECT N FROM totals) - fp AS tn,
+               CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 1.0 END
+                   AS precision,
+               CASE WHEN (SELECT P FROM totals) > 0
+                    THEN tp / (SELECT P FROM totals) ELSE 1.0 END AS recall,
+               CASE WHEN (CASE WHEN tp + fp > 0 THEN tp / (tp + fp)
+                               ELSE 1.0 END
+                        + CASE WHEN (SELECT P FROM totals) > 0
+                               THEN tp / (SELECT P FROM totals)
+                               ELSE 1.0 END) > 0
+                    THEN 2 * (CASE WHEN tp + fp > 0 THEN tp / (tp + fp)
+                                   ELSE 1.0 END)
+                           * (CASE WHEN (SELECT P FROM totals) > 0
+                                   THEN tp / (SELECT P FROM totals)
+                                   ELSE 1.0 END)
+                           / ((CASE WHEN tp + fp > 0 THEN tp / (tp + fp)
+                                    ELSE 1.0 END)
+                            + (CASE WHEN (SELECT P FROM totals) > 0
+                                    THEN tp / (SELECT P FROM totals)
+                                    ELSE 1.0 END))
+                    ELSE 0.0 END AS f1
+        FROM cum ORDER BY threshold_weight DESC
+    """
+
+    incr_pairs = (
+        f"SELECT l.{DOC_UID} AS {DOC_UID}_l, r.{DOC_UID} AS {DOC_UID}_r, "
+        + ", ".join(f"l.{c} AS {c}_l, r.{c} AS {c}_r" for c in DOC_COLS)
+        + f" FROM documents l JOIN "
+        f"(SELECT {DOC_UID} + 100000 AS {DOC_UID}, text, lang, source, "
+        f"n_chars FROM documents WHERE {DOC_UID} % 10 = 0) r "
+        f"ON l.source = r.source AND l.lang = r.lang "
+        f"AND l.{DOC_UID} < r.{DOC_UID}"
+    )
+    incr_sql = (
+        f"SELECT {DOC_UID}_l, {DOC_UID}_r, {mw} AS match_weight FROM ("
+        f"SELECT {DOC_UID}_l, {DOC_UID}_r, {', '.join(gammas)} "
+        f"FROM ({incr_pairs}) p) v"
+    )
+
+    return {
+        "o1_concat": (
+            f"SELECT {DOC_UID}, lang, source, n_chars, "
+            f"'even' AS source_dataset FROM documents WHERE {DOC_UID} % 2 = 0 "
+            f"UNION ALL SELECT {DOC_UID}, lang, source, n_chars, 'odd' "
+            f"FROM documents WHERE {DOC_UID} % 2 = 1"
+        ),
+        "o2_term_frequency": (
+            "SELECT lang, count(*) / (SELECT count(*) FROM documents "
+            "WHERE lang IS NOT NULL) AS tf_lang FROM documents "
+            "WHERE lang IS NOT NULL GROUP BY lang"
+        ),
+        "o3_concat_with_tf": (
+            f"SELECT d.{DOC_UID}, d.lang, d.source, tl.tf_lang, ts.tf_source"
+            f" FROM documents d LEFT JOIN (SELECT lang, count(*) / "
+            f"(SELECT count(*) FROM documents WHERE lang IS NOT NULL) AS "
+            f"tf_lang FROM documents WHERE lang IS NOT NULL GROUP BY lang) tl"
+            f" ON d.lang = tl.lang LEFT JOIN (SELECT source, count(*) / "
+            f"(SELECT count(*) FROM documents WHERE source IS NOT NULL) AS "
+            f"tf_source FROM documents WHERE source IS NOT NULL "
+            f"GROUP BY source) ts ON d.source = ts.source"
+        ),
+        "o4_blocking": _pairs_sql([RULE_1, RULE_2], []),
+        "o5_salted_blocking": _pairs_sql([RULE_1], []),
+        "o6_comparison_vectors": vectors_sql,
+        "o7_match_weights": predict_sql,
+        "o8_u_histogram": (
+            f"SELECT {gamma_cols}, count(*) AS pattern_count FROM ("
+            f"SELECT {', '.join(gammas)} FROM ({u_pairs}) p) v "
+            f"GROUP BY {gamma_cols}"
+        ),
+        "o9_gamma_histogram": (
+            f"SELECT {gamma_cols}, count(*) AS pattern_count "
+            f"FROM ({vectors_sql}) v GROUP BY {gamma_cols}"
+        ),
+        "o14_lambda": (
+            f"SELECT least(1.0, (SELECT count(*) FROM documents l JOIN "
+            f"documents r ON ({RULE_1.oracle_rule}) AND "
+            f"l.{DOC_UID} < r.{DOC_UID}) / 0.8 / "
+            f"((SELECT count(*) FROM documents) * "
+            f"((SELECT count(*) FROM documents) - 1) / 2)) AS lambda_est"
+        ),
+        "o15_connected_components": cc_sql,
+        "o17_incremental": incr_sql,
+        "o19_block_census": (
+            "SELECT source, lang, count(*) AS block_size, "
+            "CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS pairs_in_block"
+            " FROM documents GROUP BY source, lang"
+        ),
+        "o21_missingness": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS column_name, "
+                f"avg(CASE WHEN {c} IS NULL THEN 1.0 ELSE 0.0 END) "
+                f"AS null_share FROM documents"
+                for c in ["doc_id", "text", "lang", "source", "n_chars"]
+            )
+        ),
+        "o21_profile_values": (
+            "SELECT CAST(lang AS VARCHAR) AS value, value_count, "
+            "value_count / (SELECT count(*) FROM documents) AS share, "
+            "value_rank FROM (SELECT lang, count(*) AS value_count, "
+            "row_number() OVER (ORDER BY count(*) DESC, lang) AS value_rank "
+            "FROM documents GROUP BY lang) t WHERE value_rank <= 10"
+        ),
+        "o22_truth_space": truth_sql,
+        "dedup_exact": (
+            f"WITH planted AS ({planted}), fp AS (SELECT {DOC_UID}, "
+            f"{doc_fingerprint_sql('text')} AS fingerprint FROM planted), "
+            f"groups AS (SELECT fingerprint, min({DOC_UID}) AS canonical_id,"
+            f" count(*) AS group_size FROM fp GROUP BY fingerprint) "
+            f"SELECT f.{DOC_UID}, f.fingerprint, g.canonical_id, "
+            f"g.group_size FROM fp f JOIN groups g USING (fingerprint) "
+            f"WHERE g.group_size >= 2"
+        ),
+        "dedup_minhash": minhash_sql,
+        "dedup_ngram_jaccard": ngram_sql,
+        # ::DOUBLE[] casts: Spark computes cosine in double; DuckDB's
+        # float32 path diverges in the last ulps otherwise
+        "sim_topk_bruteforce": (
+            "SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank "
+            "FROM (SELECT q.vec_id AS query_id, c.vec_id, "
+            "list_cosine_similarity(q.embedding::DOUBLE[], "
+            "c.embedding::DOUBLE[]) AS cosine, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding::DOUBLE[], "
+            "c.embedding::DOUBLE[]) DESC, "
+            "c.vec_id) AS rank FROM embeddings q JOIN embeddings c "
+            "ON c.vec_id != q.vec_id WHERE q.vec_id < 10) t "
+            "WHERE rank <= 5"
+        ),
+        "text_stats": (
+            f"SELECT {DOC_UID}, {token_count_sql('text')} AS n_tokens, "
+            f"{doc_fingerprint_sql('text')} AS fingerprint, "
+            f"{_stopword_share_sql('en')} AS score_en, "
+            f"{_stopword_share_sql('es')} AS score_es FROM documents"
+        ),
+        "text_quality": (
+            f"SELECT {DOC_UID}, length(text) AS q_chars, "
+            f"{token_count_sql('text')} AS n_tokens, "
+            f"length(regexp_replace(text, '[\\w\\s]', '', 'g')) / "
+            f"greatest(length(text), 1) AS punct_ratio, "
+            f"{_stopword_hits_sql('en')} / "
+            f"greatest({token_count_sql('text')}, 1) AS stopword_ratio "
+            f"FROM documents"
+        ),
+        # dedup_simhash, sim_topk_lsh, multimodal_features: rows-only
+        # (bit-twiddling / hyperplane literals / stubbed decode — not
+        # cleanly ANSI-expressible)
+    }
+
+
+def _stopword_share_sql(lang: str) -> str:
+    from splink_spark.functions.text import _LANG_STOPWORDS, tokens_sql
+
+    words = ", ".join(f"'{w}'" for w in _LANG_STOPWORDS[lang])
+    t = tokens_sql("text")
+    return (
+        f"len(list_intersect(list_distinct({t}), [{words}])) / "
+        f"greatest(len({t}), 1)"
+    )
+
+
+def _stopword_hits_sql(lang: str) -> str:
+    from splink_spark.functions.text import _LANG_STOPWORDS, tokens_sql
+
+    words = ", ".join(f"'{w}'" for w in _LANG_STOPWORDS[lang])
+    t = tokens_sql("text")
+    return (
+        f"len(list_filter({t}, x -> list_contains([{words}], x)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship entry
+# ---------------------------------------------------------------------------
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: Fellegi–Sunter dedupe of documents (with planted
+    duplicates) — block, score, threshold, cluster — on sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    settings = documents_settings()
+    docs = _planted_dupes(_docs(spark, sf_dir))
+    pairs = block_using_rules(
+        docs, settings.blocking_rules, uid=DOC_UID, retain_columns=DOC_COLS
+    )
+    preds = predict_from_comparison_vectors(
+        compute_comparison_vectors(pairs, settings),
+        settings,
+        threshold_match_probability=0.9,
+    )
+    edges = preds.select(f"{DOC_UID}_l", f"{DOC_UID}_r")
+    comps = connected_components(
+        edges, src=f"{DOC_UID}_l", dst=f"{DOC_UID}_r"
+    )
+    return comps.select(
+        F.col("unique_id").alias(DOC_UID), "cluster_id"
+    )

@@ -1,0 +1,156 @@
+"""Benchmark: the flagship web-dedupe pipeline + headline operators.
+
+Prints exactly ONE JSON line:
+  {"metric": "scored_pairs_per_sec", "value": N, "unit": "pairs/sec",
+   "queries": {...per-stage seconds...}, "sf": 0.1, ...}
+
+Input scale: the deterministic web-page corpus is derived from the sf
+of $SPARK_GRAFT_SF_DIR (sf0.1 -> 20k entities ≈ 50k pages); operator
+queries run on the driver parquet fixtures in that dir. Parallelism:
+local[$SPARK_GRAFT_CPUS] (default 32). Same seed at any parallelism —
+used by BENCH/run_scaling.py for the N-vs-4N-cores protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from splink_spark.session import get_spark  # noqa: E402
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_from_dir(sf_dir)
+    n_entities = max(200, int(200_000 * sf))
+
+    spark = get_spark(app_name="splink_spark_bench", cores=cores)
+
+    from pyspark.sql import functions as F
+
+    from splink_spark.fixtures.webpages import corpus_dataframes
+    from splink_spark.operators.accuracy import pairwise_f1_from_clusters
+    from splink_spark.operators.cluster import connected_components
+    from splink_spark.operators.predict import predict_from_comparison_vectors
+    from splink_spark.operators.vectors import compute_comparison_vectors
+    from splink_spark.operators.blocking import block_using_rules
+    from splink_spark.operators.webtext import (
+        prepare_pages,
+        web_dedupe_settings,
+    )
+    import __spark_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    t_total0 = time.time()
+
+    # -- corpus generation (driver-side, deterministic) -----------------
+    t0 = time.time()
+    pages, labels = corpus_dataframes(spark, n_entities=n_entities, seed=42)
+    pages = pages.repartition(cores * 2).persist()
+    n_pages = pages.count()
+    timings["generate_corpus"] = time.time() - t0
+
+    settings = web_dedupe_settings()
+
+    # -- stage 1: key derivation (persisted: join sides must not
+    #    re-derive minhash/title keys) --------------------------------
+    t0 = time.time()
+    prepared = prepare_pages(pages).persist()
+    prepared.count()
+    timings["derive_keys"] = time.time() - t0
+
+    # -- stage 2: blocking ---------------------------------------------
+    t0 = time.time()
+    pairs = block_using_rules(
+        prepared,
+        settings.blocking_rules,
+        uid="unique_id",
+        retain_columns=["text_tokens", "bk_title", "bk_domain"],
+    )
+    n_pairs = pairs.count()
+    timings["blocking"] = time.time() - t0
+
+    # -- stage 3: score + threshold ------------------------------------
+    t0 = time.time()
+    preds = predict_from_comparison_vectors(
+        compute_comparison_vectors(pairs, settings),
+        settings,
+        threshold_match_probability=0.5,
+    ).persist()
+    n_scored_kept = preds.count()
+    timings["score"] = time.time() - t0
+
+    # -- stage 4: cluster ------------------------------------------------
+    t0 = time.time()
+    edges = preds.select("unique_id_l", "unique_id_r")
+    comps = connected_components(edges)
+    clusters = (
+        pages.join(
+            comps.withColumnRenamed("unique_id", "unique_id"),
+            "unique_id",
+            "left",
+        ).withColumn(
+            "cluster_id", F.coalesce("cluster_id", F.col("unique_id"))
+        )
+    ).persist()
+    clusters.count()
+    timings["cluster"] = time.time() - t0
+
+    # -- quality gate -----------------------------------------------------
+    t0 = time.time()
+    f1 = pairwise_f1_from_clusters(clusters, labels)
+    timings["evaluate_f1"] = time.time() - t0
+
+    # -- headline operator queries on the driver fixtures ----------------
+    for qname in (
+        "o7_match_weights",
+        "dedup_minhash",
+        "sim_topk_bruteforce",
+        "text_quality",
+    ):
+        t0 = time.time()
+        entrymod.queries()[qname](spark, sf_dir).count()
+        timings[qname] = time.time() - t0
+
+    total = time.time() - t_total0
+    pipeline_secs = (
+        timings["derive_keys"]
+        + timings["blocking"]
+        + timings["score"]
+        + timings["cluster"]
+    )
+    scored_pairs_per_sec = n_pairs / max(pipeline_secs, 1e-9)
+
+    print(
+        json.dumps(
+            {
+                "metric": "scored_pairs_per_sec",
+                "value": round(scored_pairs_per_sec, 1),
+                "unit": "pairs/sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": sf,
+                "cores": cores,
+                "n_pages": n_pages,
+                "pairs_generated": n_pairs,
+                "pairs_kept": n_scored_kept,
+                "pipeline_sec": round(pipeline_secs, 3),
+                "total_sec": round(total, 3),
+                "f1": round(f1["f1"], 5),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

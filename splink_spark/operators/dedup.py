@@ -1,0 +1,295 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not in the reference (splink dedupes *entities*; these dedupe
+*documents*), but first-class here: exact (hash groupBy), MinHash+LSH,
+SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+Scale notes:
+- exact dedup is one partial+final hash aggregate on a 32-byte key —
+  the cheapest possible full-corpus pass;
+- MinHash LSH never materialises the n² pair space: candidates come
+  from equi-joins on (band, band-minhash) keys, the same shuffle
+  geometry as blocking (O4); verification runs only on candidates;
+- banding theory: with b bands of r-shingle min-hashes, a pair with
+  Jaccard s collides in >=1 band with p = 1-(1-s^r)^b — choose b for
+  the target threshold;
+- SimHash buckets by rotated 16-bit chunks so any pair within hamming
+  distance 3 of the 64-bit fingerprint shares >=1 of 4 chunk keys
+  (pigeonhole).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from splink_spark.functions.text import (
+    doc_fingerprint,
+    hamming64,
+    minhash_band,
+    normalize_text,
+    simhash64,
+    word_shingles,
+)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (after normalization) documents.
+
+    Output: (doc_id, fingerprint, canonical_id, group_size) for rows in
+    groups of size >= 2; canonical = min id per group.
+    """
+    fp = df.select(
+        F.col(id_col), doc_fingerprint(text_col).alias("fingerprint")
+    )
+    groups = fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        fp.join(groups, "fingerprint")
+        .filter(F.col("group_size") >= 2)
+        .select(id_col, "fingerprint", "canonical_id", "group_size")
+    )
+
+
+def distinct_by_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one representative (min id) per fingerprint — the dedup sink."""
+    fp = df.withColumn("fingerprint", doc_fingerprint(text_col))
+    w_min = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return fp.join(w_min, ["fingerprint", id_col]).drop("fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# n-gram (shingle) Jaccard on candidate pairs
+# ---------------------------------------------------------------------------
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given candidate (l, r) id pairs."""
+    # materialize: joins would otherwise re-evaluate the shingle
+    # expression on both sides (Catalyst collapses projections, so a
+    # plain select is no barrier)
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, k)).alias("shingles"),
+    ).localCheckpoint(eager=False)
+    out = (
+        candidates.join(
+            sh.withColumnRenamed(id_col, f"{id_col}_l").withColumnRenamed(
+                "shingles", "sh_l"
+            ),
+            f"{id_col}_l",
+        )
+        .join(
+            sh.withColumnRenamed(id_col, f"{id_col}_r").withColumnRenamed(
+                "shingles", "sh_r"
+            ),
+            f"{id_col}_r",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_l", "sh_r"))
+            / F.size(F.array_union("sh_l", "sh_r")),
+        )
+        .drop("sh_l", "sh_r")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: ids sharing any MinHash band value.
+
+    Implemented as a union of per-band self-equi-joins (same plan shape
+    as blocking rules), deduped across bands with the NOT-previous-bands
+    predicate — pairs are emitted once, no global distinct.
+    """
+    # two materialized steps: shingles once, then bands from the stored
+    # shingle column — otherwise every band (and every join side)
+    # re-derives tokens+shingles from raw text
+    sh_df = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, shingle_k)).alias("__sh"),
+    ).localCheckpoint(eager=False)
+    keyed = sh_df.select(
+        F.col(id_col),
+        *[
+            minhash_band(F.col("__sh"), b).alias(f"mh_{b}")
+            for b in range(num_bands)
+        ],
+    ).localCheckpoint(eager=False)
+    outputs = []
+    for b in range(num_bands):
+        conds = [
+            f"l.mh_{b} = r.mh_{b}",
+            f"l.{id_col} < r.{id_col}",
+        ]
+        for prev in range(b):
+            conds.append(f"NOT (l.mh_{prev} = r.mh_{prev})")
+        j = keyed.alias("l").join(
+            keyed.alias("r"), F.expr(" AND ".join(conds))
+        )
+        outputs.append(
+            j.select(
+                F.col(f"l.{id_col}").alias(f"{id_col}_l"),
+                F.col(f"r.{id_col}").alias(f"{id_col}_r"),
+                F.lit(b).alias("band"),
+            )
+        )
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """LSH candidates verified by exact shingle Jaccard >= threshold."""
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_bands, shingle_k
+    ).select(f"{id_col}_l", f"{id_col}_r")
+    scored = shingle_jaccard_pairs(df, cands, id_col, text_col, shingle_k)
+    return scored.filter(F.col("jaccard") >= jaccard_threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dups by SimHash hamming distance <= max_hamming (<=3).
+
+    Bucketing: split the 64-bit fingerprint into 4 16-bit chunks; by
+    pigeonhole any pair within hamming 3 agrees exactly on >=1 chunk.
+    Candidates = union of 4 equi-joins on (chunk index, chunk value);
+    verified by bit_count(xor).
+    """
+    fp = df.select(
+        F.col(id_col), simhash64(text_col, shingle_k).alias("simhash")
+    ).localCheckpoint(eager=False)
+    chunks = fp.select(
+        id_col,
+        "simhash",
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * c)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"chunk_{c}")
+            for c in range(4)
+        ],
+    )
+    outputs = []
+    for c in range(4):
+        conds = [f"l.chunk_{c} = r.chunk_{c}", f"l.{id_col} < r.{id_col}"]
+        for prev in range(c):
+            conds.append(f"NOT (l.chunk_{prev} = r.chunk_{prev})")
+        j = chunks.alias("l").join(
+            chunks.alias("r"), F.expr(" AND ".join(conds))
+        )
+        outputs.append(
+            j.select(
+                F.col(f"l.{id_col}").alias(f"{id_col}_l"),
+                F.col(f"r.{id_col}").alias(f"{id_col}_r"),
+                F.col("l.simhash").alias("simhash_l"),
+                F.col("r.simhash").alias("simhash_r"),
+            )
+        )
+    cands = outputs[0]
+    for o in outputs[1:]:
+        cands = cands.unionByName(o)
+    return (
+        cands.withColumn(
+            "hamming", hamming64(F.col("simhash_l"), F.col("simhash_r"))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .drop("simhash_l", "simhash_r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold.
+
+    With ``bucket_col`` (e.g. an LSH sign-projection bucket or a label),
+    the join is an equi-join on the bucket; otherwise a full self-join
+    (quadratic — only for small/test corpora; at scale use
+    :func:`splink_spark.operators.similarity.signed_projection_buckets`).
+    """
+    cols = [F.col(id_col), F.col(vec_col)]
+    if bucket_col:
+        cols.append(F.col(bucket_col))
+    v = emb.select(*cols)
+    cond = f"l.{id_col} < r.{id_col}"
+    if bucket_col:
+        cond = f"l.{bucket_col} = r.{bucket_col} AND {cond}"
+    j = v.alias("l").join(v.alias("r"), F.expr(cond))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(f"l.{vec_col}"),
+            F.col(f"r.{vec_col}"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(side: str):
+        return F.sqrt(
+            F.aggregate(
+                F.col(f"{side}.{vec_col}"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+
+    return (
+        j.select(
+            F.col(f"l.{id_col}").alias(f"{id_col}_l"),
+            F.col(f"r.{id_col}").alias(f"{id_col}_r"),
+            (dot / (norm("l") * norm("r"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

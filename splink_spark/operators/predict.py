@@ -118,17 +118,24 @@ def predict_from_comparison_vectors(
 
 
 def bayes_factor_sql(comp: Comparison) -> str:
-    """ANSI CASE mapping gamma→log2-BF literal (DuckDB oracle)."""
+    """ANSI CASE mapping gamma→log2-BF literal (DuckDB oracle).
+
+    Literals are CAST to DOUBLE: DuckDB parses bare decimal literals as
+    DECIMAL and would do exact-decimal (not IEEE) arithmetic, diverging
+    from Spark's doubles in the last ulps.
+    """
     parts = [f"CASE {comp.gamma_column}"]
-    parts.append(f"WHEN {NULL_GAMMA} THEN 0.0")
+    parts.append(f"WHEN {NULL_GAMMA} THEN CAST(0.0 AS DOUBLE)")
     for g in range(comp.num_scored_levels):
-        parts.append(f"WHEN {g} THEN {_log2_bf_literal(comp, g)!r}")
-    parts.append("ELSE 0.0 END")
+        parts.append(
+            f"WHEN {g} THEN CAST({_log2_bf_literal(comp, g)!r} AS DOUBLE)"
+        )
+    parts.append("ELSE CAST(0.0 AS DOUBLE) END")
     return " ".join(parts)
 
 
 def match_weight_sql(settings: Settings) -> str:
     """ANSI expression for match_weight over gamma columns (oracle)."""
-    terms = [repr(settings.prior_match_weight)]
+    terms = [f"CAST({settings.prior_match_weight!r} AS DOUBLE)"]
     terms += [f"({bayes_factor_sql(c)})" for c in settings.comparisons]
     return " + ".join(terms)

@@ -25,11 +25,10 @@ from splink_spark.functions.text import (
     url_domain,
     word_shingles,
 )
-from splink_spark.model import BlockingRule, Comparison, Settings
+from splink_spark.model import BlockingRule, Comparison, ComparisonLevel, Settings
 from splink_spark.functions.comparators import (
     else_level,
     exact_match_level,
-    jaccard_tokens_level,
     null_level,
 )
 
@@ -89,14 +88,30 @@ def web_dedupe_settings(
     matching MinHash band (near-dup text). Comparisons: token Jaccard on
     text at two thresholds, exact normalized title, same domain.
     """
+    def tok_jaccard(threshold: float, m: float, u: float) -> ComparisonLevel:
+        # jaccard over the PRECOMPUTED token-array column: scoring must
+        # not re-tokenize text per pair per level (it dominates the
+        # stage otherwise)
+        expr = (
+            "size(array_intersect(text_tokens_l, text_tokens_r)) / "
+            "size(array_union(text_tokens_l, text_tokens_r)) "
+            f">= {threshold}"
+        )
+        return ComparisonLevel(
+            label=f"token jaccard >= {threshold}",
+            condition=expr,
+            m_probability=m,
+            u_probability=u,
+        )
+
     comparisons = [
         Comparison(
             output_column_name="text",
-            input_columns=["text_norm"],
+            input_columns=["text_tokens"],
             levels=[
-                null_level("text_norm"),
-                jaccard_tokens_level("text_norm", 0.9, m=0.90, u=1e-4),
-                jaccard_tokens_level("text_norm", 0.6, m=0.08, u=1e-3),
+                null_level("text_tokens"),
+                tok_jaccard(0.9, m=0.90, u=1e-4),
+                tok_jaccard(0.6, m=0.08, u=1e-3),
                 else_level(m=0.02, u=0.9989),
             ],
         ),
@@ -134,7 +149,12 @@ def web_dedupe_settings(
 
 
 def prepare_pages(pages: DataFrame, minhash_bands: int = 4) -> DataFrame:
-    """Full preparation: verify/extract text, derive keys, normalize."""
+    """Full preparation: verify/extract text, derive keys, normalize,
+    pre-tokenize (the comparison levels consume the token array)."""
     out = with_blocking_keys(pages, minhash_bands=minhash_bands)
     out = out.withColumn("text_norm", normalize_text("text"))
+    out = out.withColumn(
+        "text_tokens",
+        F.array_distinct(F.split(F.col("text_norm"), r"\s")),
+    )
     return out

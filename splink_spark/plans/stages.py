@@ -1,0 +1,177 @@
+"""Resumable stage manager with per-partition lineage and stage metrics.
+
+North-rule requirement: every pipeline stage resumes from its last
+parquet checkpoint and emits lineage + metrics (pairs generated, pairs
+scored, edges retained).
+
+Mirrors (but redesigns) the reference's intermediate-table cache
+(reference: splink/linker.py _intermediate_table_cache /
+splink/cache_dict_with_logging.py::CacheDictWithLogging — physical
+names suffixed with a SQL hash): a stage is keyed by
+``name + content_key``; the content key must capture everything the
+stage output depends on (model JSON, rule list, input fingerprint).
+If the checkpoint exists, the stage is **not recomputed** —
+``spark.read.parquet`` replaces the whole upstream plan.
+
+Per-partition lineage: at write time each row is stamped with its
+``spark_partition_id()``; the lineage table (one row per partition:
+row count) and a stage-metrics JSON are written next to the data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_COLUMN = "__lineage_partition"
+
+
+def content_hash(*parts: str) -> str:
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(p.encode("utf-8"))
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
+@dataclass
+class StageResult:
+    name: str
+    path: str
+    resumed: bool
+    row_count: int
+    wall_seconds: float
+    metrics: dict = field(default_factory=dict)
+
+
+class StageManager:
+    """Named, content-addressed parquet checkpoints for pipeline stages."""
+
+    def __init__(self, spark: SparkSession, base_dir: str) -> None:
+        self.spark = spark
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+        self.results: list[StageResult] = []
+
+    def _paths(self, name: str, key: str) -> tuple[str, str, str]:
+        stem = os.path.join(self.base_dir, f"{name}_{key}")
+        return stem + ".parquet", stem + ".lineage.parquet", stem + ".metrics.json"
+
+    def stage(
+        self,
+        name: str,
+        content_key: str,
+        build: Callable[[], DataFrame],
+        extra_metrics: dict | None = None,
+    ) -> DataFrame:
+        """Run (or resume) a stage. Returns the stage DataFrame, always
+        backed by the parquet checkpoint (lineage truncated)."""
+        data_path, lineage_path, metrics_path = self._paths(name, content_key)
+        t0 = time.time()
+        if os.path.exists(metrics_path):
+            df = self.spark.read.parquet(data_path)
+            with open(metrics_path) as f:
+                saved = json.load(f)
+            self.results.append(
+                StageResult(
+                    name=name,
+                    path=data_path,
+                    resumed=True,
+                    row_count=saved["row_count"],
+                    wall_seconds=time.time() - t0,
+                    metrics=saved.get("metrics", {}),
+                )
+            )
+            return df.drop(LINEAGE_COLUMN)
+
+        df = build().withColumn(LINEAGE_COLUMN, F.spark_partition_id())
+        df.write.mode("overwrite").parquet(data_path)
+        persisted = self.spark.read.parquet(data_path)
+        lineage = persisted.groupBy(LINEAGE_COLUMN).agg(
+            F.count(F.lit(1)).alias("rows")
+        )
+        lineage.write.mode("overwrite").parquet(lineage_path)
+        row_count = persisted.count()
+        metrics = {
+            "row_count": row_count,
+            "partitions": lineage.count(),
+            "metrics": extra_metrics or {},
+            "wall_seconds": time.time() - t0,
+        }
+        # atomic-ish: metrics file written LAST marks the stage complete,
+        # so a crash mid-write never yields a half-checkpoint that resumes
+        with open(metrics_path + ".tmp", "w") as f:
+            json.dump(metrics, f)
+        os.replace(metrics_path + ".tmp", metrics_path)
+        self.results.append(
+            StageResult(
+                name=name,
+                path=data_path,
+                resumed=False,
+                row_count=row_count,
+                wall_seconds=time.time() - t0,
+                metrics=extra_metrics or {},
+            )
+        )
+        return persisted.drop(LINEAGE_COLUMN)
+
+    def lineage(self, name: str, content_key: str) -> DataFrame:
+        _, lineage_path, _ = self._paths(name, content_key)
+        return self.spark.read.parquet(lineage_path)
+
+    def summary(self) -> list[dict]:
+        return [
+            {
+                "stage": r.name,
+                "resumed": r.resumed,
+                "rows": r.row_count,
+                "seconds": round(r.wall_seconds, 3),
+                **r.metrics,
+            }
+            for r in self.results
+        ]
+
+
+def staged_predict(
+    linker,
+    manager: StageManager,
+    threshold_match_probability: float = 0.5,
+) -> DataFrame:
+    """The scoring pipeline with resumable checkpoints at the
+    reference's materialisation points: concat_with_tf, blocked pairs,
+    predictions (SURVEY.md §3.1)."""
+    model_key = content_hash(linker.settings.to_json())
+
+    concat = manager.stage(
+        "concat_with_tf", model_key, lambda: linker.concat_with_tf()
+    )
+    linker._concat_with_tf = concat  # downstream stages read the checkpoint
+
+    pairs = manager.stage(
+        "blocked_pairs",
+        model_key,
+        lambda: linker.blocked_pairs(),
+        extra_metrics={"stage_kind": "pairs_generated"},
+    )
+
+    from splink_spark.operators.predict import predict_from_comparison_vectors
+    from splink_spark.operators.vectors import compute_comparison_vectors
+
+    preds = manager.stage(
+        "predictions",
+        content_hash(model_key, str(threshold_match_probability)),
+        lambda: predict_from_comparison_vectors(
+            compute_comparison_vectors(pairs, linker.settings),
+            linker.settings,
+            threshold_match_probability=threshold_match_probability,
+        ),
+        extra_metrics={"stage_kind": "pairs_scored"},
+    )
+    return preds

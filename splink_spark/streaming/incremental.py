@@ -1,0 +1,53 @@
+"""Streaming incremental linkage — micro-batch scoring of new records.
+
+The reference is batch-only; its nearest concept is
+``find_matches_to_new_records`` (reference: splink/linker.py). Here
+that operator becomes a Structured Streaming sink: each micro-batch of
+new records is scored against the static (persisted) base via the same
+broadcast-join path, and appended to a parquet edge log.
+
+The base never re-shuffles: new records are broadcast per micro-batch,
+so a 100 TB base supports a live trickle of arrivals at constant cost
+per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from splink_spark.plans.linker import Linker
+
+
+def stream_matches_to_new_records(
+    linker: Linker,
+    new_records_stream: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    threshold_match_probability: float = 0.5,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Score a stream of new records against the linker's base.
+
+    ``new_records_stream`` must be a streaming DataFrame with the same
+    schema as the base input. Output: append-mode parquet of match
+    edges. Checkpointed — restart-safe (exactly-once per micro-batch).
+    """
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        preds = linker.find_matches_to_new_records(
+            batch_df,
+            threshold_match_probability=threshold_match_probability,
+        )
+        preds.write.mode("append").parquet(output_path)
+
+    writer = (
+        new_records_stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
