@@ -70,14 +70,15 @@ def main() -> None:
     prepared.count()
     timings["derive_keys"] = time.time() - t0
 
-    # -- stage 2: blocking ---------------------------------------------
+    # -- stage 2: blocking (persisted: scoring must not re-run the
+    #    5-way self-join) -------------------------------------------------
     t0 = time.time()
     pairs = block_using_rules(
         prepared,
         settings.blocking_rules,
         uid="unique_id",
         retain_columns=["text_tokens", "bk_title", "bk_domain"],
-    )
+    ).persist()
     n_pairs = pairs.count()
     timings["blocking"] = time.time() - t0
 

@@ -148,16 +148,47 @@ def generate_corpus(
         ],
     )
 
-    # labels: all positive pairs + same-base-domain negative pairs
+    # labels: all positive pairs + same-base-domain negatives. Negatives
+    # are consecutive same-domain pages (k=1..3 ahead), NOT the full
+    # same-domain self-join — with Zipf-skewed domains the hot domain
+    # alone would make that quadratic (~10^8 pairs at bench scale).
     pos = pages.merge(pages, on="entity_id", suffixes=("_l", "_r"))
     pos = pos[pos.unique_id_l < pos.unique_id_r][
         ["unique_id_l", "unique_id_r"]
     ].assign(is_match=True)
-    neg = pages.merge(pages, on="base_domain", suffixes=("_l", "_r"))
-    neg = neg[
-        (neg.unique_id_l < neg.unique_id_r)
-        & (neg.entity_id_l != neg.entity_id_r)
-    ][["unique_id_l", "unique_id_r"]].assign(is_match=False)
+    by_dom = pages.sort_values(["base_domain", "unique_id"])
+    negs = []
+    for k in (1, 2, 3):
+        shifted = by_dom.groupby("base_domain")[["unique_id", "entity_id"]].shift(-k)
+        mask = shifted.entity_id.notna() & (
+            shifted.entity_id != by_dom.entity_id
+        )
+        negs.append(
+            pd.DataFrame(
+                {
+                    "unique_id_l": by_dom.unique_id[mask],
+                    "unique_id_r": shifted.unique_id[mask].astype("int64"),
+                }
+            )
+        )
+    neg = pd.concat(negs, ignore_index=True)
+    neg[["unique_id_l", "unique_id_r"]] = pd.DataFrame(
+        {
+            "unique_id_l": neg.min(axis=1),
+            "unique_id_r": neg.max(axis=1),
+        }
+    )
+    neg = neg.drop_duplicates().assign(is_match=False)
+    # positives win on collision (same pair can appear via both paths)
+    neg = neg.merge(
+        pos[["unique_id_l", "unique_id_r"]],
+        on=["unique_id_l", "unique_id_r"],
+        how="left",
+        indicator=True,
+    )
+    neg = neg[neg._merge == "left_only"][
+        ["unique_id_l", "unique_id_r", "is_match"]
+    ]
     labels = pd.concat([pos, neg], ignore_index=True)
     return pages.drop(columns=["base_domain"]), labels
 

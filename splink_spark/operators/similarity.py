@@ -110,28 +110,49 @@ def lsh_topk(
     emb: DataFrame,
     dim: int,
     k: int = 10,
-    n_planes: int = 6,
+    n_planes: int = 3,
+    n_tables: int = 10,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate all-pairs top-k: cosine ranking within LSH buckets.
+    """Approximate all-pairs top-k: cosine ranking within LSH buckets,
+    OR-amplified over ``n_tables`` independent hash tables.
 
-    The self-join is an equi-join on the bucket — shuffle on bucket id,
-    never the n² pair space. Recall is tunable via n_planes (fewer
-    planes = bigger buckets = higher recall, more compute).
+    Candidate recall for a pair at angle θ is 1 - (1 - (1-θ/π)^b)^L —
+    a single table is useless on weakly-correlated data (measured ~15%
+    top-1 recall at b=4, L=1 on random 64-dim vectors; ~90% at b=3,
+    L=10). Each table is an equi-join on its bucket id — shuffle on
+    bucket, never the n² pair space; candidates are unioned, deduped by
+    (query, candidate), then ranked once.
     """
-    b = signed_projection_buckets(emb, dim, n_planes, seed, vec_col)
-    left = b.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        F.col("lsh_bucket"),
+    keyed = emb
+    bucket_cols = []
+    for t in range(n_tables):
+        col = f"lsh_b{t}"
+        keyed = signed_projection_buckets(
+            keyed, dim, n_planes, seed + 7919 * t, vec_col, out_col=col
+        )
+        bucket_cols.append(col)
+    # materialize: the per-table joins must not re-derive all buckets
+    keyed = keyed.select(id_col, vec_col, *bucket_cols).localCheckpoint(
+        eager=False
     )
-    right = b.select(id_col, vec_col, "lsh_bucket")
-    joined = left.join(right, "lsh_bucket").filter(
-        F.col(id_col) != F.col("query_id")
-    )
-    scored = joined.select(
+
+    cands = None
+    for t, col in enumerate(bucket_cols):
+        left = keyed.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            F.col(col),
+        )
+        right = keyed.select(id_col, vec_col, col)
+        j = left.join(right, col).filter(F.col(id_col) != F.col("query_id"))
+        c = j.select("query_id", id_col, "__qvec", vec_col)
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.dropDuplicates(["query_id", id_col])
+
+    scored = cands.select(
         "query_id",
         id_col,
         cosine_expr(F.col("__qvec"), F.col(vec_col)).alias("cosine"),

@@ -18,12 +18,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from splink_spark.functions.minhash_udf import make_minhash_udf
 from splink_spark.functions.text import (
-    minhash_band,
     normalize_text,
     normalized_title_key,
     url_domain,
-    word_shingles,
 )
 from splink_spark.model import BlockingRule, Comparison, ComparisonLevel, Settings
 from splink_spark.functions.comparators import (
@@ -72,10 +71,17 @@ def with_blocking_keys(
         "bk_domain", F.regexp_replace(dom, r"^mirror-", "")
     )
     out = out.withColumn("bk_title", normalized_title_key(title_col))
-    sh = word_shingles(text_col, shingle_k)
+    # MinHash bands via the vectorized pandas UDF (Arrow path): the
+    # native-expression variant is interpreted HOF at ~3ms/row — two
+    # orders of magnitude too slow for key derivation at scale
+    toks = F.split(normalize_text(text_col), r"\s")
+    sig = make_minhash_udf(minhash_bands, shingle_k)(toks)
+    out = out.withColumn("__mh_sig", sig)
     for b in range(minhash_bands):
-        out = out.withColumn(f"bk_minhash_{b}", minhash_band(sh, b))
-    return out
+        out = out.withColumn(
+            f"bk_minhash_{b}", F.element_at(F.col("__mh_sig"), b + 1)
+        )
+    return out.drop("__mh_sig")
 
 
 def web_dedupe_settings(

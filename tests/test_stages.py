@@ -1,0 +1,82 @@
+"""Resumable stage manager: checkpoint, resume, invalidation, lineage
+(north-rule: every stage resumes from its last parquet checkpoint)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from splink_spark.functions.comparators import (
+    else_level,
+    exact_match_level,
+    null_level,
+)
+from splink_spark.model import BlockingRule, Comparison, Settings
+from splink_spark.plans.linker import Linker
+from splink_spark.plans.stages import StageManager, content_hash, staged_predict
+
+
+def _settings(prior: float = 0.01) -> Settings:
+    return Settings(
+        unique_id_column_name="unique_id",
+        probability_two_random_records_match=prior,
+        blocking_rules=[BlockingRule("l.source = r.source")],
+        comparisons=[
+            Comparison(
+                "lang",
+                input_columns=["lang"],
+                levels=[
+                    null_level("lang"),
+                    exact_match_level("lang", m=0.9, u=0.2),
+                    else_level(m=0.1, u=0.8),
+                ],
+            )
+        ],
+    )
+
+
+def test_stage_resume_and_invalidation(spark, docs, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stages"))
+
+    mgr = StageManager(spark, base)
+    preds = staged_predict(Linker(docs, _settings()), mgr, 0.5)
+    n_cold = preds.count()
+    assert not any(s["resumed"] for s in mgr.summary())
+
+    mgr2 = StageManager(spark, base)
+    preds2 = staged_predict(Linker(docs, _settings()), mgr2, 0.5)
+    assert preds2.count() == n_cold
+    assert all(s["resumed"] for s in mgr2.summary())
+
+    # model change -> different content key -> rebuild
+    mgr3 = StageManager(spark, base)
+    staged_predict(Linker(docs, _settings(prior=0.2)), mgr3, 0.5).count()
+    assert not any(s["resumed"] for s in mgr3.summary())
+
+
+def test_half_written_checkpoint_rebuilds(spark, docs, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stages"))
+    mgr = StageManager(spark, base)
+    staged_predict(Linker(docs, _settings()), mgr, 0.5).count()
+
+    model_key = content_hash(_settings().to_json())
+    pred_key = content_hash(model_key, "0.5")
+    os.remove(os.path.join(base, f"predictions_{pred_key}.metrics.json"))
+
+    mgr2 = StageManager(spark, base)
+    staged_predict(Linker(docs, _settings()), mgr2, 0.5).count()
+    by_name = {s["stage"]: s for s in mgr2.summary()}
+    assert by_name["predictions"]["resumed"] is False
+    assert by_name["concat_with_tf"]["resumed"] is True
+
+
+def test_lineage_partition_counts(spark, docs, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stages"))
+    mgr = StageManager(spark, base)
+    staged_predict(Linker(docs, _settings()), mgr, 0.5).count()
+    model_key = content_hash(_settings().to_json())
+    lineage = mgr.lineage("blocked_pairs", model_key)
+    total = sum(r["rows"] for r in lineage.collect())
+    blocked = [s for s in mgr.summary() if s["stage"] == "blocked_pairs"][0]
+    assert total == blocked["rows"]
