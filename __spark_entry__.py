@@ -326,6 +326,60 @@ def q_o17_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_o18_self_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every record scored against itself (O18): best-possible weight."""
+    settings = documents_settings()
+    docs = _docs(spark, sf_dir)
+    cols = [
+        F.col(DOC_UID).alias(f"{DOC_UID}_l"),
+        F.col(DOC_UID).alias(f"{DOC_UID}_r"),
+    ]
+    for c in DOC_COLS:
+        cols.append(F.col(c).alias(f"{c}_l"))
+        cols.append(F.col(c).alias(f"{c}_r"))
+    pairs = docs.select(*cols)
+    preds = predict_from_comparison_vectors(
+        compute_comparison_vectors(pairs, settings), settings
+    )
+    return preds.select(f"{DOC_UID}_l", f"{DOC_UID}_r", "match_weight")
+
+
+def q_o13_m_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m-from-labels core (O13): gamma histogram over pairs blocked on
+    a label-like column (source stands in for the label)."""
+    settings = documents_settings()
+    docs = _docs(spark, sf_dir)
+    pairs = block_using_rules(
+        docs,
+        [BlockingRule("l.source = r.source")],
+        uid=DOC_UID,
+        retain_columns=DOC_COLS,
+    )
+    vectors = compute_comparison_vectors(pairs, settings)
+    return vectors.groupBy(*settings.gamma_columns).agg(
+        F.count(F.lit(1)).alias("pattern_count")
+    )
+
+
+def q_o20_rule_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-rule discovery (O20): estimated comparison counts for
+    equality rules over column combos, filtered below a threshold."""
+    from splink_spark.operators.blocking import (
+        find_blocking_rules_below_threshold,
+    )
+
+    rules = find_blocking_rules_below_threshold(
+        _docs(spark, sf_dir),
+        ["lang", "source", "n_chars"],
+        max_comparisons=30_000,
+        max_combo_size=2,
+    )
+    return spark.createDataFrame(
+        [(r["rule"], r["estimated_comparisons"]) for r in rules],
+        "rule: string, estimated_comparisons: long",
+    )
+
+
 def q_o19_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return block_census(_docs(spark, sf_dir), ["source", "lang"])
 
@@ -457,8 +511,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o7_match_weights": q_o7_predict,
         "o8_u_histogram": q_o8_u_histogram,
         "o9_gamma_histogram": q_o9_gamma_histogram,
+        "o13_m_histogram": q_o13_m_histogram,
         "o14_lambda": q_o14_lambda,
         "o15_connected_components": q_o15_cluster,
+        "o18_self_link": q_o18_self_link,
+        "o20_rule_discovery": q_o20_rule_discovery,
         "o17_incremental": q_o17_incremental,
         "o19_block_census": q_o19_census,
         "o21_missingness": q_o21_missingness,
@@ -679,6 +736,37 @@ def oracle_sql() -> dict[str, str]:
         "o9_gamma_histogram": (
             f"SELECT {gamma_cols}, count(*) AS pattern_count "
             f"FROM ({vectors_sql}) v GROUP BY {gamma_cols}"
+        ),
+        "o13_m_histogram": (
+            f"SELECT {gamma_cols}, count(*) AS pattern_count FROM ("
+            f"SELECT {', '.join(gammas)} FROM "
+            f"({_pairs_sql([BlockingRule('l.source = r.source')], DOC_COLS)})"
+            f" p) v GROUP BY {gamma_cols}"
+        ),
+        "o18_self_link": (
+            f"SELECT {DOC_UID}_l, {DOC_UID}_r, {mw} AS match_weight FROM ("
+            f"SELECT {', '.join(gammas)}, {DOC_UID}_l, {DOC_UID}_r FROM ("
+            f"SELECT {DOC_UID} AS {DOC_UID}_l, {DOC_UID} AS {DOC_UID}_r, "
+            + ", ".join(f"{c} AS {c}_l, {c} AS {c}_r" for c in DOC_COLS)
+            + " FROM documents) p) v"
+        ),
+        "o20_rule_discovery": (
+            "SELECT rule, estimated_comparisons FROM ("
+            + " UNION ALL ".join(
+                f"SELECT '{' AND '.join(f'l.{c} = r.{c}' for c in combo)}'"
+                f" AS rule, CAST(coalesce(sum(c * (c - 1) / 2), 0) AS BIGINT)"
+                f" AS estimated_comparisons FROM (SELECT count(*) AS c "
+                f"FROM documents GROUP BY {', '.join(combo)}) t"
+                for combo in [
+                    ("lang",),
+                    ("source",),
+                    ("n_chars",),
+                    ("lang", "source"),
+                    ("lang", "n_chars"),
+                    ("source", "n_chars"),
+                ]
+            )
+            + ") u WHERE estimated_comparisons <= 30000"
         ),
         "o14_lambda": (
             f"SELECT least(1.0, (SELECT count(*) FROM documents l JOIN "

@@ -70,27 +70,33 @@ def main() -> None:
     prepared.count()
     timings["derive_keys"] = time.time() - t0
 
-    # -- stage 2: blocking (persisted: scoring must not re-run the
-    #    5-way self-join) -------------------------------------------------
+    # -- stage 2+3: blocking + scoring FUSED in one codegen pass.
+    #    Never materialize the raw pair table: caching array-typed pair
+    #    rows costs far more to (de)serialize than recomputing the join
+    #    inside the pipeline. Persist only the narrow scored output.
     t0 = time.time()
     pairs = block_using_rules(
         prepared,
         settings.blocking_rules,
         uid="unique_id",
         retain_columns=["text_tokens", "bk_title", "bk_domain"],
-    ).persist()
-    n_pairs = pairs.count()
-    timings["blocking"] = time.time() - t0
-
-    # -- stage 3: score + threshold ------------------------------------
-    t0 = time.time()
-    preds = predict_from_comparison_vectors(
-        compute_comparison_vectors(pairs, settings),
-        settings,
-        threshold_match_probability=0.5,
-    ).persist()
+    )
+    scored = (
+        predict_from_comparison_vectors(
+            compute_comparison_vectors(pairs, settings), settings
+        )
+        .select(
+            "unique_id_l",
+            "unique_id_r",
+            "match_weight",
+            "match_probability",
+        )
+        .persist()
+    )
+    n_pairs = scored.count()
+    timings["block_and_score"] = time.time() - t0
+    preds = scored.filter(F.col("match_probability") >= 0.5)
     n_scored_kept = preds.count()
-    timings["score"] = time.time() - t0
 
     # -- stage 4: cluster ------------------------------------------------
     t0 = time.time()
@@ -127,8 +133,7 @@ def main() -> None:
     total = time.time() - t_total0
     pipeline_secs = (
         timings["derive_keys"]
-        + timings["blocking"]
-        + timings["score"]
+        + timings["block_and_score"]
         + timings["cluster"]
     )
     scored_pairs_per_sec = n_pairs / max(pipeline_secs, 1e-9)

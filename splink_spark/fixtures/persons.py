@@ -1,0 +1,103 @@
+"""Deterministic person-record fixture (FIXTURES.md §1) — analogue of
+the reference's bundled synthetic dataset
+(reference: splink/datasets.py::splink_datasets.fake_1000,
+tests/datasets/fake_1000.csv): ~N entities with 1–4 records each,
+corruption ops = char typos (levenshtein exercise), first/surname swap
+(columns_reversed), null-outs (null level), dob day/month swap.
+
+``cluster`` is ground truth — never a model input.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+_FIRST = (
+    "james mary john patricia robert jennifer michael linda david susan "
+    "william jessica richard sarah joseph karen thomas lisa charles nancy "
+    "amelia oliver harry isla george ava noah emily jack sophie"
+).split()
+_SUR = (
+    "smith jones taylor brown williams wilson johnson davies robinson "
+    "wright thompson evans walker white roberts green hall wood jackson "
+    "clark patel khan lewis james watson harris clarke cooper king lee"
+).split()
+_CITY = "london leeds york bath hull derby truro ely wells ripon".split()
+
+
+def _typo(rng: np.random.Generator, s: str) -> str:
+    if len(s) < 3:
+        return s
+    i = int(rng.integers(1, len(s) - 1))
+    c = chr(ord("a") + int(rng.integers(0, 26)))
+    op = int(rng.integers(0, 3))
+    if op == 0:  # substitute
+        return s[:i] + c + s[i + 1 :]
+    if op == 1:  # delete
+        return s[:i] + s[i + 1 :]
+    return s[:i] + c + s[i:]  # insert
+
+
+def generate_persons(
+    n_entities: int = 300, seed: int = 42, max_records: int = 4
+) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    rows = []
+    uid = 0
+    for e in range(n_entities):
+        first = _FIRST[int(rng.integers(0, len(_FIRST)))]
+        sur = _SUR[int(rng.integers(0, len(_SUR)))]
+        city = _CITY[int(rng.integers(0, len(_CITY)))]
+        y = int(rng.integers(1950, 2005))
+        m = int(rng.integers(1, 13))
+        d = int(rng.integers(1, 28))
+        email = f"{first}.{sur}{int(rng.integers(1, 99))}@example.com"
+        n_rec = int(rng.integers(1, max_records + 1))
+        for r in range(n_rec):
+            f, s, c, em = first, sur, city, email
+            yy, mm, dd = y, m, d
+            if r > 0:
+                for _ in range(int(rng.integers(1, 3))):
+                    op = int(rng.integers(0, 6))
+                    if op == 0:
+                        f = _typo(rng, f)
+                    elif op == 1:
+                        s = _typo(rng, s)
+                    elif op == 2:
+                        f, s = s, f  # columns reversed
+                    elif op == 3:
+                        c = None  # null-out
+                    elif op == 4 and mm <= 12 and dd <= 12:
+                        mm, dd = dd, mm  # dob day/month swap
+                    else:
+                        em = _typo(rng, em)
+            dob = f"{yy:04d}-{mm:02d}-{dd:02d}"
+            rows.append((uid, f, s, dob, c, em, e))
+            uid += 1
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "unique_id",
+            "first_name",
+            "surname",
+            "dob",
+            "city",
+            "email",
+            "cluster",
+        ],
+    )
+
+
+def persons_dataframe(
+    spark: SparkSession, n_entities: int = 300, seed: int = 42
+) -> DataFrame:
+    pdf = generate_persons(n_entities=n_entities, seed=seed)
+    return spark.createDataFrame(
+        pdf,
+        schema=(
+            "unique_id long, first_name string, surname string, "
+            "dob string, city string, email string, cluster long"
+        ),
+    )

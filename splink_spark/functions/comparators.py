@@ -261,6 +261,21 @@ def cosine_similarity_level(
     )
 
 
+def phonetic_match_level(
+    col: str, m: float | None = None, u: float | None = None
+) -> ComparisonLevel:
+    """Phonetic (soundex) equality — the reference exposes
+    double-metaphone via its Scala jar (classes DoubleMetaphone/
+    DoubleMetaphoneAlt, used through distance_function_level); Spark
+    ships soundex natively, which covers the same comparison slot."""
+    return ComparisonLevel(
+        label=f"soundex {col}",
+        condition=f"soundex({col}_l) = soundex({col}_r)",
+        m_probability=m,
+        u_probability=u,
+    )
+
+
 def distance_function_level(
     col: str,
     function_name: str,

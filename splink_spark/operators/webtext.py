@@ -19,11 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from splink_spark.functions.minhash_udf import make_minhash_udf
-from splink_spark.functions.text import (
-    normalize_text,
-    normalized_title_key,
-    url_domain,
-)
+from splink_spark.functions.text import normalized_title_key, url_domain
 from splink_spark.model import BlockingRule, Comparison, ComparisonLevel, Settings
 from splink_spark.functions.comparators import (
     else_level,
@@ -57,8 +53,19 @@ def with_blocking_keys(
     minhash_bands: int = 4,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Append the three fixed blocking keys as columns:
-    ``bk_domain``, ``bk_title``, ``bk_minhash_0..n``.
+    """Narrow keyed table: unique_id + ``bk_domain``, ``bk_title``,
+    ``bk_minhash_0..n``, ``text_tokens`` (distinct) — everything the
+    linkage pipeline needs; payload columns stay behind (join back by
+    id when needed; carrying html/text through blocking would bloat
+    every shuffle).
+
+    Cost discipline (this stage is the per-row hot path at ingest):
+    - ONE regex scan of the text (split on non-alphanumeric runs) —
+      NOT lower+2×regexp_replace+split, and with a materialization
+      barrier so projection collapse can't re-inline the scan into
+      every consumer (measured 3x re-evaluation without it);
+    - MinHash bands via the vectorized pandas UDF over the stored
+      token sequence (the native HOF expression is ~100x slower).
 
     Mirror domains (``mirror-site.com``) normalize to their base domain
     so recrawl/mirror duplicates land in the same block.
@@ -67,21 +74,35 @@ def with_blocking_keys(
     if title_col not in pages.columns and "html" in pages.columns:
         out = out.withColumn(title_col, extract_title_from_html("html"))
     dom = url_domain(url_col)
-    out = out.withColumn(
-        "bk_domain", F.regexp_replace(dom, r"^mirror-", "")
+    tok_seq = F.array_remove(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), ""
     )
-    out = out.withColumn("bk_title", normalized_title_key(title_col))
-    # MinHash bands via the vectorized pandas UDF (Arrow path): the
-    # native-expression variant is interpreted HOF at ~3ms/row — two
-    # orders of magnitude too slow for key derivation at scale
-    toks = F.split(normalize_text(text_col), r"\s")
-    sig = make_minhash_udf(minhash_bands, shingle_k)(toks)
-    out = out.withColumn("__mh_sig", sig)
-    for b in range(minhash_bands):
-        out = out.withColumn(
-            f"bk_minhash_{b}", F.element_at(F.col("__mh_sig"), b + 1)
-        )
-    return out.drop("__mh_sig")
+    step1 = out.select(
+        "unique_id",
+        F.regexp_replace(dom, r"^mirror-", "").alias("bk_domain"),
+        normalized_title_key(title_col).alias("bk_title"),
+        tok_seq.alias("__tok_seq"),
+    ).localCheckpoint(eager=False)
+
+    sig = make_minhash_udf(minhash_bands, shingle_k)(F.col("__tok_seq"))
+    keyed = step1.select(
+        "unique_id",
+        "bk_domain",
+        "bk_title",
+        F.array_distinct("__tok_seq").alias("text_tokens"),
+        sig.alias("__mh_sig"),
+    )
+    keyed = keyed.select(
+        "unique_id",
+        "bk_domain",
+        "bk_title",
+        "text_tokens",
+        *[
+            F.element_at("__mh_sig", b + 1).alias(f"bk_minhash_{b}")
+            for b in range(minhash_bands)
+        ],
+    )
+    return keyed
 
 
 def web_dedupe_settings(
@@ -155,12 +176,7 @@ def web_dedupe_settings(
 
 
 def prepare_pages(pages: DataFrame, minhash_bands: int = 4) -> DataFrame:
-    """Full preparation: verify/extract text, derive keys, normalize,
-    pre-tokenize (the comparison levels consume the token array)."""
-    out = with_blocking_keys(pages, minhash_bands=minhash_bands)
-    out = out.withColumn("text_norm", normalize_text("text"))
-    out = out.withColumn(
-        "text_tokens",
-        F.array_distinct(F.split(F.col("text_norm"), r"\s")),
-    )
-    return out
+    """Full preparation: derive the narrow keyed table (blocking keys +
+    token arrays). The comparison levels consume ``text_tokens``; page
+    payloads (html/text/...) join back by unique_id when needed."""
+    return with_blocking_keys(pages, minhash_bands=minhash_bands)

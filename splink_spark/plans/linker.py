@@ -182,6 +182,27 @@ class Linker:
             uid=self.settings.uid,
         )
 
+    # -- self-link (O18) ----------------------------------------------------
+
+    def self_link(self) -> DataFrame:
+        """Score every record against itself — the best-possible match
+        weight per record (unlinkables analysis).
+
+        reference: splink/linker.py::Linker._self_link.
+        """
+        df = self.concat_with_tf()
+        uid = self.settings.uid
+        cols = [
+            F.col(uid).alias(f"{uid}_l"),
+            F.col(uid).alias(f"{uid}_r"),
+        ]
+        for c in self._retain_columns():
+            cols.append(F.col(c).alias(f"{c}_l"))
+            cols.append(F.col(c).alias(f"{c}_r"))
+        pairs = df.select(*cols)
+        vectors = compute_comparison_vectors(pairs, self.settings)
+        return predict_from_comparison_vectors(vectors, self.settings)
+
     # -- incremental (O17) -------------------------------------------------
 
     def find_matches_to_new_records(
