@@ -95,7 +95,12 @@ rand_pairs = (
 scored_sample = predict_from_comparison_vectors(
     compute_comparison_vectors(rand_pairs, settings), settings
 )
-n_sampled = scored_sample.count()
+# aggregate over match_weight, NOT count(): a bare count lets Catalyst
+# prune the whole scoring projection and measure only the join
+agg = scored_sample.agg(
+    F.count(F.lit(1)).alias("n"), F.sum("match_weight").alias("s")
+).collect()[0]
+n_sampled = int(agg["n"])
 timings["score_sampled"] = time.time() - t0
 
 n_edges = preds.count()
@@ -161,34 +166,77 @@ def best_of(n: int, cores: int, entities: int) -> dict:
     return min(runs, key=lambda r: r["scoring_sec"])
 
 
+def _burn(_):
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 2:
+        x += 1
+    return x
+
+
+def measure_host_parallel_capacity() -> dict:
+    """How much extra CPU the host actually provides from N to 4N
+    processes (pure-python burn, no Spark): the ceiling for any Spark
+    scaling number on this box (32 'CPUs' are SMT threads on a shared
+    host — measured ~2.6x total from 8 to 32 procs)."""
+    import multiprocessing as mp
+
+    burn = _burn
+    out = {}
+    for procs in (CORES_A, CORES_B):
+        with mp.Pool(procs) as p:
+            out[procs] = sum(p.map(burn, range(procs)))
+    return {
+        "total_a": out[CORES_A],
+        "total_b": out[CORES_B],
+        "host_capacity_ratio": round(out[CORES_B] / out[CORES_A], 3),
+    }
+
+
+CORES_A = int(os.environ.get("CORES_A", "8"))
+CORES_B = int(os.environ.get("CORES_B", "32"))
+
+
 def main() -> None:
     entities = int(os.environ.get("SCALE_ENTITIES", "80000"))
     repeats = int(os.environ.get("SCALE_REPEATS", "3"))
-    r8 = best_of(repeats, 8, entities)
-    r32 = best_of(repeats, 32, entities)
+    host = measure_host_parallel_capacity()
+    print(json.dumps({"host_capacity": host}))
+    r8 = best_of(repeats, CORES_A, entities)
+    r32 = best_of(repeats, CORES_B, entities)
 
+    ratio = CORES_B / CORES_A
     eff_throughput = (
         r32["scored_pairs_per_sec"] / r8["scored_pairs_per_sec"]
-    ) / 4.0
-    eff_pipeline = (r8["pipeline_sec"] / r32["pipeline_sec"]) / 4.0
+    ) / ratio
+    eff_pipeline = (r8["pipeline_sec"] / r32["pipeline_sec"]) / ratio
+    eff_vs_host = (
+        r32["scored_pairs_per_sec"] / r8["scored_pairs_per_sec"]
+    ) / host["host_capacity_ratio"]
 
     md = f"""# BENCH/BASELINE.md — measured scaling runs
 
 Protocol (BASELINE.md "sandbox measurement protocol"): identical job,
 identical input (deterministic corpus, seed 42, {entities} entities ≈
 {r8['n_pages']} pages), identical JVM heap; only parallelism differs
-(local[8] vs local[32] — the N vs 4N executor proxy). Each
-configuration is best-of-{repeats}: this sandbox is a shared host
+(local[{CORES_A}] vs local[{CORES_B}] — the N vs 4N executor proxy).
+Each configuration is best-of-{repeats}: this sandbox is a shared host
 (cumulative CPU steal ≈ 50% of user time per /proc/stat), so single
 runs vary several-fold with co-tenant load; best-of-n approximates
 each configuration's uncontended capability.
 
+Host parallel-capacity ceiling (pure-python burn, no Spark): going
+from {CORES_A} to {CORES_B} processes the host delivers only
+{host['host_capacity_ratio']}x total CPU (nominal {ratio:.0f}x) — the
+nominal 32 "CPUs" are SMT threads on a contended box. Engine scaling
+must be read against that ceiling.
+
 Job: key derivation (vectorized MinHash UDF) → blocking (5 salted
 equi self-joins) → pairwise scoring of blocked pairs AND a
-deterministic ~2M random-pair sample (u-estimation load) →
+deterministic ~10M random-pair sample (u-estimation load) →
 large-star/small-star clustering. F1 gate on planted labels.
 
-| metric | local[8] | local[32] |
+| metric | local[{CORES_A}] | local[{CORES_B}] |
 |---|---|---|
 | scored pairs (blocked + sampled) | {r8['total_scored']} | {r32['total_scored']} |
 | scoring wall (s) | {r8['scoring_sec']} | {r32['scoring_sec']} |
@@ -200,10 +248,13 @@ large-star/small-star clustering. F1 gate on planted labels.
 | cluster (s) | {r8['timings']['cluster']} | {r32['timings']['cluster']} |
 | pairwise F1 vs labels | {r8['f1']} | {r32['f1']} |
 
-**Scaling efficiency (scored-pairs/sec, 8→32 cores) =
-(throughput32/throughput8)/4 = {eff_throughput:.3f}**
-(full-pipeline efficiency = {eff_pipeline:.3f}; target ≥ 0.8 on the
-scoring path per BASELINE.json north rule)
+**Scaling efficiency (scored-pairs/sec, {CORES_A}→{CORES_B} cores) =
+(throughput_{CORES_B}/throughput_{CORES_A})/{ratio:.0f} =
+{eff_throughput:.3f}** (full-pipeline efficiency =
+{eff_pipeline:.3f}; target ≥ 0.8 on the scoring path per BASELINE.json
+north rule). Normalised to the host's measured parallel-capacity
+ceiling ({host['host_capacity_ratio']}x), engine efficiency =
+{eff_vs_host:.3f}.
 
 Stage metrics per north rule: pairs generated = {r8['pairs_blocked']},
 pairs scored = {r8['total_scored']}, edges retained =

@@ -27,8 +27,6 @@ from splink_spark.functions.text import (
     doc_fingerprint,
     hamming64,
     minhash_band,
-    normalize_text,
-    simhash64,
     word_shingles,
 )
 
@@ -199,8 +197,13 @@ def simhash_near_duplicates(
     Candidates = union of 4 equi-joins on (chunk index, chunk value);
     verified by bit_count(xor).
     """
+    from splink_spark.functions.minhash_udf import make_simhash_udf
+
+    toks = F.array_remove(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), ""
+    )
     fp = df.select(
-        F.col(id_col), simhash64(text_col, shingle_k).alias("simhash")
+        F.col(id_col), make_simhash_udf(shingle_k)(toks).alias("simhash")
     ).localCheckpoint(eager=False)
     chunks = fp.select(
         id_col,

@@ -1,0 +1,82 @@
+"""Streaming incremental linkage: micro-batch scoring of new records
+against a static base (availableNow trigger, checkpointed)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from splink_spark.functions.comparators import (
+    else_level,
+    exact_match_level,
+    null_level,
+)
+from splink_spark.model import BlockingRule, Comparison, Settings
+from splink_spark.plans.linker import Linker
+from splink_spark.streaming.incremental import stream_matches_to_new_records
+
+
+def _settings() -> Settings:
+    return Settings(
+        probability_two_random_records_match=0.01,
+        blocking_rules=[BlockingRule("l.source = r.source")],
+        comparisons=[
+            Comparison(
+                "lang",
+                input_columns=["lang"],
+                levels=[
+                    null_level("lang"),
+                    exact_match_level("lang", m=0.9, u=0.2),
+                    else_level(m=0.1, u=0.8),
+                ],
+            ),
+            Comparison(
+                "n_chars",
+                input_columns=["n_chars"],
+                levels=[
+                    null_level("n_chars"),
+                    exact_match_level("n_chars", m=0.8, u=0.01),
+                    else_level(m=0.2, u=0.99),
+                ],
+            ),
+        ],
+    )
+
+
+def test_stream_scores_new_records(spark, docs, tmp_path_factory):
+    base_dir = str(tmp_path_factory.mktemp("stream"))
+    new_dir = os.path.join(base_dir, "incoming")
+    out_dir = os.path.join(base_dir, "edges")
+    ckpt_dir = os.path.join(base_dir, "ckpt")
+    os.makedirs(new_dir)
+
+    # "new" records: copies of every 20th doc, shifted ids
+    new_records = docs.filter(F.col("unique_id") % 20 == 0).withColumn(
+        "unique_id", F.col("unique_id") + F.lit(500000)
+    )
+    new_records.coalesce(1).write.mode("overwrite").parquet(new_dir)
+
+    linker = Linker(docs, _settings())
+    stream = spark.readStream.schema(docs.schema).parquet(new_dir)
+    q = stream_matches_to_new_records(
+        linker,
+        stream,
+        output_path=out_dir,
+        checkpoint_path=ckpt_dir,
+        threshold_match_probability=0.5,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    edges = spark.read.parquet(out_dir)
+    assert edges.count() > 0
+    # every retained edge links a base record to a streamed record
+    assert edges.filter("unique_id_r < 500000").count() == 0
+    # exact copies must link back to their originals
+    linked = {
+        (r["unique_id_l"], r["unique_id_r"])
+        for r in edges.select("unique_id_l", "unique_id_r").collect()
+    }
+    assert any(l + 500000 == r for l, r in linked)
