@@ -136,7 +136,9 @@ def main() -> None:
         + timings["block_and_score"]
         + timings["cluster"]
     )
-    scored_pairs_per_sec = n_pairs / max(pipeline_secs, 1e-9)
+    # scoring throughput (matches BENCH/BASELINE.md's metric): pairs
+    # through the fused block+score pass per second of that pass
+    scored_pairs_per_sec = n_pairs / max(timings["block_and_score"], 1e-9)
 
     print(
         json.dumps(
