@@ -135,9 +135,11 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
-def _pairs_sql(rules: list[BlockingRule], retain: list[str]) -> str:
+def _pairs_sql(
+    rules: list[BlockingRule], retain: list[str], table: str = "documents"
+) -> str:
     """DuckDB pair-table SQL mirroring block_using_rules (ordering,
-    match_key, NOT-previous-rules dedup)."""
+    match_key, NOT-coalesce previous-rules dedup)."""
     sel_cols = [
         f"l.{DOC_UID} AS {DOC_UID}_l",
         f"r.{DOC_UID} AS {DOC_UID}_r",
@@ -149,12 +151,10 @@ def _pairs_sql(rules: list[BlockingRule], retain: list[str]) -> str:
     for i, br in enumerate(rules):
         conds = [f"({br.oracle_rule})", f"(l.{DOC_UID} < r.{DOC_UID})"]
         for prev in rules[:i]:
-            conds.append(
-                f"(NOT ({prev.oracle_rule} AND ({prev.oracle_rule}) IS NOT NULL))"
-            )
+            conds.append(f"(NOT coalesce(({prev.oracle_rule}), false))")
         parts.append(
             f"SELECT {', '.join(sel_cols)}, {i} AS match_key "
-            f"FROM documents l JOIN documents r ON {' AND '.join(conds)}"
+            f"FROM {table} l JOIN {table} r ON {' AND '.join(conds)}"
         )
     return " UNION ALL ".join(parts)
 
@@ -660,31 +660,27 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
                    sum(neg_here) OVER (ORDER BY mw DESC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
-            FROM per)
-        SELECT mw AS threshold_weight, tp, fp,
-               (SELECT P FROM totals) - tp AS fn,
-               (SELECT N FROM totals) - fp AS tn,
-               CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 1.0 END
-                   AS precision,
-               CASE WHEN (SELECT P FROM totals) > 0
-                    THEN tp / (SELECT P FROM totals) ELSE 1.0 END AS recall,
-               CASE WHEN (CASE WHEN tp + fp > 0 THEN tp / (tp + fp)
-                               ELSE 1.0 END
-                        + CASE WHEN (SELECT P FROM totals) > 0
-                               THEN tp / (SELECT P FROM totals)
-                               ELSE 1.0 END) > 0
-                    THEN 2 * (CASE WHEN tp + fp > 0 THEN tp / (tp + fp)
-                                   ELSE 1.0 END)
-                           * (CASE WHEN (SELECT P FROM totals) > 0
-                                   THEN tp / (SELECT P FROM totals)
-                                   ELSE 1.0 END)
-                           / ((CASE WHEN tp + fp > 0 THEN tp / (tp + fp)
-                                    ELSE 1.0 END)
-                            + (CASE WHEN (SELECT P FROM totals) > 0
-                                    THEN tp / (SELECT P FROM totals)
-                                    ELSE 1.0 END))
-                    ELSE 0.0 END AS f1
-        FROM cum ORDER BY threshold_weight DESC
+            FROM per),
+        -- precision/recall computed ONCE, f1 from those columns: same
+        -- sub-expression structure and evaluation order as the Spark
+        -- side (operators/accuracy.py), then both sides round to 9
+        pr AS (
+            SELECT mw, tp, fp,
+                   (SELECT P FROM totals) - tp AS fn,
+                   (SELECT N FROM totals) - fp AS tn,
+                   CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 1.0 END
+                       AS precision,
+                   CASE WHEN (SELECT P FROM totals) > 0
+                        THEN tp / (SELECT P FROM totals)
+                        ELSE 1.0 END AS recall
+            FROM cum)
+        SELECT mw AS threshold_weight, tp, fp, fn, tn,
+               round(precision, 9) AS precision,
+               round(recall, 9) AS recall,
+               round(CASE WHEN precision + recall > 0
+                          THEN 2 * precision * recall / (precision + recall)
+                          ELSE 0.0 END, 9) AS f1
+        FROM pr ORDER BY threshold_weight DESC
     """
 
     incr_pairs = (

@@ -91,9 +91,12 @@ def truth_space_table(
             "fp",
             "fn",
             "tn",
-            "precision",
-            "recall",
-            "f1",
+            # ratio columns rounded to 9 digits: derived double ratios are
+            # the one place engine-specific expression-ordering can differ
+            # in the last ulp (same discipline as the cosine oracles)
+            F.round("precision", 9).alias("precision"),
+            F.round("recall", 9).alias("recall"),
+            F.round("f1", 9).alias("f1"),
         )
         .orderBy(F.desc("threshold_weight"))
     )

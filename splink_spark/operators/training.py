@@ -77,6 +77,10 @@ class EMResult:
     iterations: int
     converged: bool
     history: list[float]  # max param delta per iteration
+    # comparisons fixed under the training rule (their m/u untouched);
+    # the Linker uses this to average ONLY trained comparisons across
+    # sessions (reference: splink/em_training_session.py)
+    fixed_comparisons: frozenset[int] = frozenset()
 
 
 def em_fit(
@@ -116,7 +120,7 @@ def em_fit(
     eps = 1e-30
 
     if n == 0:
-        return EMResult(m, u, lam, 0, True, history)
+        return EMResult(m, u, lam, 0, True, history, fixed_comparisons)
 
     for it in range(max_iterations):
         # E-step (vectorized over patterns)
@@ -162,8 +166,8 @@ def em_fit(
         lam = new_lam
         history.append(delta)
         if delta < tol:
-            return EMResult(m, u, lam, it + 1, True, history)
-    return EMResult(m, u, lam, max_iterations, False, history)
+            return EMResult(m, u, lam, it + 1, True, history, fixed_comparisons)
+    return EMResult(m, u, lam, max_iterations, False, history, fixed_comparisons)
 
 
 # ---------------------------------------------------------------------------
@@ -173,13 +177,19 @@ def em_fit(
 def deterministic_sample(
     df: DataFrame, fraction: float, uid: str, seed: int = 42
 ) -> DataFrame:
-    """Hash-based Bernoulli sample: stable across runs and resumes."""
+    """Hash-based Bernoulli sample: stable across runs and resumes.
+
+    The seed is passed as a second xxhash64 ARGUMENT (never added to the
+    id): arithmetic on a string uid would throw under ANSI mode or hash
+    NULL silently, keeping all rows and exploding the downstream cross
+    join to n² pairs.
+    """
     if fraction >= 1.0:
         return df
     buckets = 1_000_000
     keep = int(fraction * buckets)
     return df.filter(
-        F.pmod(F.xxhash64(F.col(uid) + F.lit(seed)), F.lit(buckets)) < keep
+        F.pmod(F.xxhash64(F.col(uid), F.lit(seed)), F.lit(buckets)) < keep
     )
 
 

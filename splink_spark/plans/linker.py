@@ -27,7 +27,11 @@ from splink_spark.operators.cluster import (
 )
 from splink_spark.operators.concat import vertically_concatenate
 from splink_spark.operators.predict import predict_from_comparison_vectors
-from splink_spark.operators.tf import concat_with_tf, tf_column_name
+from splink_spark.operators.tf import (
+    join_term_frequencies,
+    term_frequency_table,
+    tf_column_name,
+)
 from splink_spark.operators.training import (
     EMResult,
     apply_u_estimates,
@@ -37,6 +41,7 @@ from splink_spark.operators.training import (
     estimate_u,
 )
 from splink_spark.operators.vectors import compute_comparison_vectors
+from splink_spark.plans.validate import validate_settings_against_schemas
 
 
 class Linker:
@@ -54,6 +59,14 @@ class Linker:
         self.settings = settings
         self.spark = spark or next(iter(inputs.values())).sparkSession
         self._concat_with_tf: DataFrame | None = None
+        self._tf_tables: dict[str, DataFrame] = {}
+        # EM multi-session accumulators: per comparison index, the list
+        # of per-session m/u estimates; the model carries their mean
+        # (reference: splink/em_training_session.py — multiple sessions'
+        # estimates are averaged per comparison).
+        self._em_m_sessions: dict[int, list[np.ndarray]] = {}
+        self._em_u_sessions: dict[int, list[np.ndarray]] = {}
+        validate_settings_against_schemas(settings, inputs)
 
     # -- stage: concat (+ TF) ---------------------------------------------
 
@@ -72,16 +85,31 @@ class Linker:
 
     def concat_with_tf(self) -> DataFrame:
         """O1 + O2/O3, persisted once per Linker (the reference caches
-        __splink__df_concat_with_tf the same way)."""
+        __splink__df_concat_with_tf the same way). The per-column TF
+        tables are also cached (``tf_tables``) so incremental linkage
+        and single-pair scoring reuse the BASE distribution
+        (reference: splink/linker.py _intermediate_table_cache tf
+        tables)."""
         if self._concat_with_tf is None:
             df = vertically_concatenate(
                 self.inputs,
                 source_dataset_column=self.settings.source_dataset_column_name,
                 unique_id_column=self.settings.uid,
             )
-            df = concat_with_tf(df, self.tf_columns())
+            self._tf_tables = {
+                c: term_frequency_table(df, c).persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                for c in self.tf_columns()
+            }
+            df = join_term_frequencies(df, self._tf_tables)
             self._concat_with_tf = df.persist(StorageLevel.MEMORY_AND_DISK)
         return self._concat_with_tf
+
+    def tf_tables(self) -> dict[str, DataFrame]:
+        """The base input's cached TF tables (column -> (value, tf))."""
+        self.concat_with_tf()
+        return self._tf_tables
 
     # -- stage: blocking + vectors + predict ------------------------------
 
@@ -107,6 +135,7 @@ class Linker:
             retain_columns=self._retain_columns(),
             link_mode=self.link_mode,
             source_col=self.settings.source_dataset_column_name,
+            link_only=self.settings.link_type == "link_only",
         )
 
     def comparison_vectors(
@@ -153,14 +182,36 @@ class Linker:
     def estimate_parameters_using_expectation_maximisation(
         self, blocking_rule: BlockingRule | str, fix_u: bool = False
     ) -> EMResult:
+        """One EM session; across multiple sessions each comparison's
+        model m/u is the MEAN of the sessions that trained it
+        (reference: splink/em_training_session.py +
+        splink/settings.py — estimates averaged per comparison)."""
         rule = (
             blocking_rule
             if isinstance(blocking_rule, BlockingRule)
             else BlockingRule(rule=blocking_rule)
         )
-        return estimate_parameters_using_em(
+        result = estimate_parameters_using_em(
             self.concat_with_tf(), self.settings, rule, fix_u=fix_u
         )
+        for ci, comp in enumerate(self.settings.comparisons):
+            if ci in result.fixed_comparisons:
+                continue
+            self._em_m_sessions.setdefault(ci, []).append(result.m[ci])
+            if not fix_u:
+                self._em_u_sessions.setdefault(ci, []).append(result.u[ci])
+            m_avg = np.mean(self._em_m_sessions[ci], axis=0)
+            u_avg = (
+                np.mean(self._em_u_sessions[ci], axis=0)
+                if self._em_u_sessions.get(ci)
+                else None
+            )
+            for lv in comp.scored_levels:
+                g = comp.gamma_of(lv)
+                lv.m_probability = float(m_avg[g])
+                if u_avg is not None:
+                    lv.u_probability = float(u_avg[g])
+        return result
 
     def estimate_m_from_label_column(self, label_column: str) -> None:
         m = estimate_m_from_label_column(
@@ -214,6 +265,12 @@ class Linker:
         everything: the new side is broadcast, so the base never shuffles
         (natural broadcast-hash-join at any base size).
 
+        TF columns on the new side come from the BASE's cached TF tables
+        (not batch-local frequencies — a new record's tf must reflect
+        the base distribution); the pair-ordering predicate is skipped
+        because base and new are distinct tables, so every (base, new)
+        combination is already unique.
+
         reference: splink/linker.py::Linker.find_matches_to_new_records.
         """
         base = self.concat_with_tf()
@@ -222,7 +279,8 @@ class Linker:
             source_dataset_column=self.settings.source_dataset_column_name,
             unique_id_column=self.settings.uid,
         )
-        new = concat_with_tf(new, self.tf_columns()) if self.tf_columns() else new
+        if self.tf_columns():
+            new = join_term_frequencies(new, self.tf_tables())
         pairs = block_using_rules(
             base,
             self.settings.blocking_rules,
@@ -231,6 +289,7 @@ class Linker:
             link_mode=True,
             source_col=self.settings.source_dataset_column_name,
             df_right=F.broadcast(new),
+            pair_ordering=False,
         )
         vectors = compute_comparison_vectors(pairs, self.settings)
         return predict_from_comparison_vectors(
@@ -242,17 +301,37 @@ class Linker:
     def compare_two_records(
         self, record_l: dict, record_r: dict
     ) -> DataFrame:
-        """Single-pair scoring. reference: splink/linker.py::
-        Linker.compare_two_records."""
+        """Single-pair scoring. TF columns resolve from the record dicts
+        when supplied (key ``tf_<col>``) and otherwise left-join from the
+        base's cached TF tables, as the reference does.
+
+        reference: splink/linker.py::Linker.compare_two_records."""
         uid = self.settings.uid
-        cols = self._retain_columns()
+        tf_cols = {tf_column_name(c): c for c in self.tf_columns()}
         row = {}
         row[f"{uid}_l"] = record_l.get(uid, 0)
         row[f"{uid}_r"] = record_r.get(uid, 1)
-        for c in cols:
+        for c in self._retain_columns():
+            if c in tf_cols:
+                continue  # resolved below (record value or base TF join)
             row[f"{c}_l"] = record_l.get(c)
             row[f"{c}_r"] = record_r.get(c)
         pair = self.spark.createDataFrame([row])
+        for tfc, c in tf_cols.items():
+            tf = self.tf_tables()[c]
+            for side, rec in (("l", record_l), ("r", record_r)):
+                if tfc in rec:
+                    pair = pair.withColumn(
+                        f"{tfc}_{side}", F.lit(rec[tfc]).cast("double")
+                    )
+                else:
+                    t = tf.select(
+                        F.col(c).alias(f"{c}_{side}"),
+                        F.col(tfc).alias(f"{tfc}_{side}"),
+                    )
+                    pair = pair.join(
+                        F.broadcast(t), on=f"{c}_{side}", how="left"
+                    )
         vectors = compute_comparison_vectors(pair, self.settings)
         return predict_from_comparison_vectors(vectors, self.settings)
 

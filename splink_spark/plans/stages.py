@@ -41,6 +41,51 @@ def content_hash(*parts: str) -> str:
     return h.hexdigest()[:16]
 
 
+def input_fingerprint(inputs: dict[str, DataFrame]) -> str:
+    """Fingerprint of the pipeline's input data, part of every stage's
+    content key: re-running the same model over CHANGED input must never
+    resume a stale checkpoint.
+
+    Uses the normalized logical plan (expression ids stripped — they
+    vary per session) plus source file paths + size + mtime (cheap, no
+    job) when the frame is file-backed; falls back to schema + row count
+    otherwise. Over-invalidation (recompute) is safe; silent stale
+    resume is not, so any plan difference — an extra filter over the
+    same files included — changes the key.
+    """
+    import re as _re
+
+    parts: list[str] = []
+    for name in sorted(inputs):
+        df = inputs[name]
+        parts.append(name)
+        parts.append(df.schema.simpleString())
+        try:
+            plan = df._jdf.queryExecution().analyzed().toString()
+            parts.append(_re.sub(r"#\d+", "#", plan))
+        except Exception:
+            pass
+        try:
+            files = sorted(df.inputFiles())
+        except Exception:
+            files = []
+        if files:
+            for f in files:
+                p = f
+                for prefix in ("file://", "file:"):
+                    if p.startswith(prefix):
+                        p = p[len(prefix):]
+                        break
+                try:
+                    st = os.stat(p)
+                    parts.append(f"{f}|{st.st_size}|{int(st.st_mtime)}")
+                except OSError:
+                    parts.append(f)
+        else:
+            parts.append(f"rows={df.count()}")
+    return content_hash(*parts)
+
+
 @dataclass
 class StageResult:
     name: str
@@ -146,8 +191,12 @@ def staged_predict(
 ) -> DataFrame:
     """The scoring pipeline with resumable checkpoints at the
     reference's materialisation points: concat_with_tf, blocked pairs,
-    predictions (SURVEY.md §3.1)."""
-    model_key = content_hash(linker.settings.to_json())
+    predictions (SURVEY.md §3.1). Stage keys combine the model JSON with
+    the input-data fingerprint so changed inputs can never resume a
+    stale checkpoint."""
+    model_key = content_hash(
+        linker.settings.to_json(), input_fingerprint(linker.inputs)
+    )
 
     concat = manager.stage(
         "concat_with_tf", model_key, lambda: linker.concat_with_tf()

@@ -82,6 +82,13 @@ def test_link_two_datasets(spark):
     ).count()
     assert bad == 0
 
+    # link_only NEVER emits within-source pairs
+    # (reference: splink/blocking.py::block_using_rules_sql)
+    same_source = preds.filter(
+        "source_dataset_l = source_dataset_r"
+    ).count()
+    assert same_source == 0
+
     # true cross-source matches recovered: same entity split across
     # datasets shares email+dob for uncorrupted copies
     truth = (
@@ -99,3 +106,41 @@ def test_link_two_datasets(spark):
     if truth:
         matched = preds.filter("match_probability > 0.9").count()
         assert matched > 0
+
+
+def test_link_and_dedupe_keeps_within_source_pairs(spark):
+    """link_and_dedupe scores BOTH cross- and within-source pairs;
+    link_only drops the within-source ones — the two modes must differ
+    on the same input."""
+    persons = persons_dataframe(spark, n_entities=120, seed=21).persist()
+    a = persons.filter(F.col("unique_id") % 2 == 0).drop("cluster")
+    b = persons.filter(F.col("unique_id") % 2 == 1).drop("cluster")
+
+    s_both = _settings()
+    s_both.link_type = "link_and_dedupe"
+    both = Linker({"dsA": a, "dsB": b}, s_both).blocked_pairs().persist()
+    within = both.filter("source_dataset_l = source_dataset_r").count()
+    cross = both.filter("source_dataset_l <> source_dataset_r").count()
+    assert within > 0 and cross > 0
+
+    only = Linker({"dsA": a, "dsB": b}, _settings()).blocked_pairs()
+    assert only.count() == cross
+
+
+def test_find_matches_to_new_records_any_source_name(spark):
+    """Regression: base-vs-new blocking must not depend on the lexical
+    order of the base source name vs '__new__' (a base named 'persons'
+    sorts after '__new__'; the old pair-ordering predicate dropped every
+    pair)."""
+    persons = persons_dataframe(spark, n_entities=80, seed=7).drop("cluster")
+    s = _settings()
+    s.link_type = "dedupe_only"
+    linker = Linker({"persons": persons}, s)
+    new = persons.filter(F.col("unique_id") < 5).withColumn(
+        "unique_id", F.col("unique_id") + F.lit(10_000_000)
+    )
+    matches = linker.find_matches_to_new_records(new).persist()
+    assert matches.count() > 0
+    # every new record with a surname block in the base scores itself
+    exact = matches.filter("email_l = email_r AND dob_l = dob_r").count()
+    assert exact >= 1

@@ -14,7 +14,12 @@ from splink_spark.functions.comparators import (
 )
 from splink_spark.model import BlockingRule, Comparison, Settings
 from splink_spark.plans.linker import Linker
-from splink_spark.plans.stages import StageManager, content_hash, staged_predict
+from splink_spark.plans.stages import (
+    StageManager,
+    content_hash,
+    input_fingerprint,
+    staged_predict,
+)
 
 
 def _settings(prior: float = 0.01) -> Settings:
@@ -60,7 +65,9 @@ def test_half_written_checkpoint_rebuilds(spark, docs, tmp_path_factory):
     mgr = StageManager(spark, base)
     staged_predict(Linker(docs, _settings()), mgr, 0.5).count()
 
-    model_key = content_hash(_settings().to_json())
+    model_key = content_hash(
+        _settings().to_json(), input_fingerprint({"__input__": docs})
+    )
     pred_key = content_hash(model_key, "0.5")
     os.remove(os.path.join(base, f"predictions_{pred_key}.metrics.json"))
 
@@ -75,8 +82,26 @@ def test_lineage_partition_counts(spark, docs, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("stages"))
     mgr = StageManager(spark, base)
     staged_predict(Linker(docs, _settings()), mgr, 0.5).count()
-    model_key = content_hash(_settings().to_json())
+    model_key = content_hash(
+        _settings().to_json(), input_fingerprint({"__input__": docs})
+    )
     lineage = mgr.lineage("blocked_pairs", model_key)
     total = sum(r["rows"] for r in lineage.collect())
     blocked = [s for s in mgr.summary() if s["stage"] == "blocked_pairs"][0]
     assert total == blocked["rows"]
+
+
+def test_changed_input_invalidates_checkpoint(spark, docs, tmp_path_factory):
+    """Same model over different input data must NOT resume the stale
+    checkpoint (the content key includes the input fingerprint)."""
+    base = str(tmp_path_factory.mktemp("stages"))
+    mgr = StageManager(spark, base)
+    staged_predict(Linker(docs, _settings()), mgr, 0.5).count()
+    full_pairs = [s for s in mgr.summary() if s["stage"] == "blocked_pairs"][0]
+
+    smaller = docs.filter("unique_id % 2 = 0")
+    mgr2 = StageManager(spark, base)
+    staged_predict(Linker(smaller, _settings()), mgr2, 0.5).count()
+    assert not any(s["resumed"] for s in mgr2.summary())
+    half_pairs = [s for s in mgr2.summary() if s["stage"] == "blocked_pairs"][0]
+    assert half_pairs["rows"] < full_pairs["rows"]
