@@ -127,6 +127,48 @@ def documents_settings() -> Settings:
     )
 
 
+def tf_documents_settings() -> Settings:
+    """documents model with a TF-adjusted exact-match level on `source`
+    (SURVEY §7.3(d) drift hotspot — the clamp/greatest(tf_l, tf_r)
+    semantics, oracle-exercised via o7_tf_adjusted).
+
+    reference: splink/comparison_level.py::ComparisonLevel
+    (_tf_adjustment_sql)."""
+    from splink_spark.functions.comparators import exact_match_level as eml
+
+    return Settings(
+        unique_id_column_name=DOC_UID,
+        probability_two_random_records_match=0.01,
+        blocking_rules=[RULE_1],
+        comparisons=[
+            Comparison(
+                "lang",
+                input_columns=["lang"],
+                levels=[
+                    null_level("lang"),
+                    exact_match_level("lang", m=0.9, u=0.2),
+                    else_level(m=0.1, u=0.8),
+                ],
+            ),
+            Comparison(
+                "source",
+                input_columns=["source"],
+                levels=[
+                    null_level("source"),
+                    eml(
+                        "source",
+                        m=0.85,
+                        u=0.05,
+                        tf_adjustment=True,
+                        tf_minimum_u_value=0.001,
+                    ),
+                    else_level(m=0.15, u=0.95),
+                ],
+            ),
+        ],
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -241,6 +283,61 @@ def q_o7_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         *settings.gamma_columns,
         "match_weight",
         "match_probability",
+    )
+
+
+def q_o7_tf_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 with term-frequency adjustment: exact source matches are
+    re-weighted by the rarity of the shared value (u / max(tf, tf_min)),
+    with tf joined back from the base TF table (O2/O3)."""
+    settings = tf_documents_settings()
+    docs = _docs(spark, sf_dir)
+    docs_tf = join_term_frequencies(
+        docs, {"source": term_frequency_table(docs, "source")}
+    )
+    pairs = block_using_rules(
+        docs_tf,
+        [RULE_1],
+        uid=DOC_UID,
+        retain_columns=["lang", "source", "tf_source"],
+    )
+    preds = predict_from_comparison_vectors(
+        compute_comparison_vectors(pairs, settings), settings
+    )
+    # log2 at runtime on both engines -> round derived doubles
+    return preds.select(
+        f"{DOC_UID}_l",
+        f"{DOC_UID}_r",
+        *settings.gamma_columns,
+        F.round("match_weight", 9).alias("match_weight"),
+        F.round("match_probability", 9).alias("match_probability"),
+    )
+
+
+def q_link_only_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """link_only blocking over two sources: only cross-source pairs,
+    composite-id ordering, NOT-coalesce cross-rule dedup."""
+    docs = _docs(spark, sf_dir)
+    cat = vertically_concatenate(
+        {
+            "dsa": docs.filter(F.col(DOC_UID) % 2 == 0),
+            "dsb": docs.filter(F.col(DOC_UID) % 2 == 1),
+        },
+        unique_id_column=DOC_UID,
+    )
+    pairs = block_using_rules(
+        cat,
+        [RULE_1, RULE_2],
+        uid=DOC_UID,
+        link_mode=True,
+        link_only=True,
+    )
+    return pairs.select(
+        f"{DOC_UID}_l",
+        f"{DOC_UID}_r",
+        "source_dataset_l",
+        "source_dataset_r",
+        "match_key",
     )
 
 
@@ -440,10 +537,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Spark-only (64-bit bit-twiddling); verified by pytest, rows-only here
-    return simhash_near_duplicates(
+    """SimHash near-dup recall gate, oracle-checkable: every planted
+    exact copy MUST be recovered by the full pipeline (signature ->
+    chunk buckets -> hamming verify) with hamming 0. Organic near-dup
+    pairs are pytest-verified (the 64-bit signature itself is not
+    cleanly ANSI-expressible)."""
+    out = simhash_near_duplicates(
         _planted_dupes(_docs(spark, sf_dir)), max_hamming=3
     )
+    return out.filter(
+        (F.col(f"{DOC_UID}_r") - F.col(f"{DOC_UID}_l") == 100000)
+        & (F.col(f"{DOC_UID}_l") % 10 == 0)
+    ).select(f"{DOC_UID}_l", f"{DOC_UID}_r", "hamming")
 
 
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,8 +561,25 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate path: rows-only (hyperplane literals impractical in SQL)
-    return lsh_topk(_emb(spark, sf_dir), dim=64, k=5, n_planes=4)
+    """LSH ANN with a driver-checkable quality gate: recall@1 of the
+    LSH top-k vs exact brute force over the first 50 query vectors must
+    be >= 0.9 (hyperplanes are deterministic from the seed, so the
+    recall value is stable). The oracle asserts the gate passed."""
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 50)
+    lsh = lsh_topk(emb, dim=64, k=5, n_planes=3, n_tables=10).select(
+        "query_id", "vec_id"
+    )
+    bf1 = brute_force_topk(emb, queries_df, k=1).select(
+        "query_id", "vec_id"
+    )
+    n_q = queries_df.count()
+    hits = bf1.join(lsh, ["query_id", "vec_id"], "left_semi").count()
+    recall = hits / max(n_q, 1)
+    return spark.createDataFrame(
+        [(n_q, bool(recall >= 0.9))],
+        "n_queries: long, recall_ok: boolean",
+    )
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,8 +607,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # binary plumbing with the stubbed (deterministic-fake) decoder;
-    # rows-only check
+    """Binary plumbing with the stubbed (deterministic-fake) decoder.
+    The UDF emits md5(payload) computed INSIDE Python — the oracle
+    recomputes it in DuckDB, proving the Arrow batches carried the
+    exact bytes end-to-end."""
     from splink_spark.multimodal import extract_features
 
     docs = _docs(spark, sf_dir)
@@ -494,9 +618,9 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(DOC_UID).alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
     )
-    feats = extract_features(media, fake=True)
+    feats = extract_features(media, fake=True, with_checksum=True)
     return feats.select(
-        "media_id", F.size("feature").alias("feature_dim")
+        "media_id", F.size("feature").alias("feature_dim"), "payload_md5"
     )
 
 
@@ -507,8 +631,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_concat_with_tf": q_o3_concat_with_tf,
         "o4_blocking": q_o4_blocking,
         "o5_salted_blocking": q_o5_salted,
+        "o4_link_only": q_link_only_blocking,
         "o6_comparison_vectors": q_o6_vectors,
         "o7_match_weights": q_o7_predict,
+        "o7_tf_adjusted": q_o7_tf_adjusted,
         "o8_u_histogram": q_o8_u_histogram,
         "o9_gamma_histogram": q_o9_gamma_histogram,
         "o13_m_histogram": q_o13_m_histogram,
@@ -683,6 +809,61 @@ def oracle_sql() -> dict[str, str]:
         FROM pr ORDER BY threshold_weight DESC
     """
 
+    # -- o7_tf_adjusted: TF-adjusted prediction -------------------------
+    tf_settings = tf_documents_settings()
+    tf_gammas = comparison_vector_sql_projection(tf_settings)
+    tf_gamma_cols = ", ".join(tf_settings.gamma_columns)
+    tf_mw = match_weight_sql(tf_settings)
+    docs_tf_cte = (
+        "SELECT d.*, ts.tf_source FROM documents d LEFT JOIN "
+        "(SELECT source, count(*) / (SELECT count(*) FROM documents "
+        "WHERE source IS NOT NULL) AS tf_source FROM documents "
+        "WHERE source IS NOT NULL GROUP BY source) ts "
+        "ON d.source = ts.source"
+    )
+    tf_pairs = _pairs_sql(
+        [RULE_1], ["lang", "source", "tf_source"], table="docs_tf"
+    )
+    tf_adjusted_sql = f"""
+        WITH docs_tf AS ({docs_tf_cte})
+        SELECT {DOC_UID}_l, {DOC_UID}_r, {tf_gamma_cols},
+               round(match_weight, 9) AS match_weight,
+               round(pow(2.0, match_weight) /
+                     (1.0 + pow(2.0, match_weight)), 9) AS match_probability
+        FROM (
+            SELECT {DOC_UID}_l, {DOC_UID}_r, {tf_gamma_cols},
+                   {tf_mw} AS match_weight
+            FROM (
+                SELECT {DOC_UID}_l, {DOC_UID}_r, tf_source_l, tf_source_r,
+                       {', '.join(tf_gammas)}
+                FROM ({tf_pairs}) pairs) v) w
+    """
+
+    # -- o4_link_only: cross-source-only blocking ------------------------
+    lo_comp_l = f"concat(l.source_dataset, '-__-', CAST(l.{DOC_UID} AS VARCHAR))"
+    lo_comp_r = f"concat(r.source_dataset, '-__-', CAST(r.{DOC_UID} AS VARCHAR))"
+    lo_parts = []
+    lo_rules = [RULE_1, RULE_2]
+    for i, br in enumerate(lo_rules):
+        conds = [
+            f"({br.oracle_rule})",
+            f"({lo_comp_l} < {lo_comp_r})",
+            "(l.source_dataset <> r.source_dataset)",
+        ]
+        for prev in lo_rules[:i]:
+            conds.append(f"(NOT coalesce(({prev.oracle_rule}), false))")
+        lo_parts.append(
+            f"SELECT l.{DOC_UID} AS {DOC_UID}_l, r.{DOC_UID} AS {DOC_UID}_r, "
+            f"l.source_dataset AS source_dataset_l, "
+            f"r.source_dataset AS source_dataset_r, {i} AS match_key "
+            f"FROM cat l JOIN cat r ON {' AND '.join(conds)}"
+        )
+    link_only_sql = (
+        f"WITH cat AS (SELECT *, CASE WHEN {DOC_UID} % 2 = 0 THEN 'dsa' "
+        f"ELSE 'dsb' END AS source_dataset FROM documents) "
+        + " UNION ALL ".join(lo_parts)
+    )
+
     incr_pairs = (
         f"SELECT l.{DOC_UID} AS {DOC_UID}_l, r.{DOC_UID} AS {DOC_UID}_r, "
         + ", ".join(f"l.{c} AS {c}_l, r.{c} AS {c}_r" for c in DOC_COLS)
@@ -721,9 +902,11 @@ def oracle_sql() -> dict[str, str]:
             f"GROUP BY source) ts ON d.source = ts.source"
         ),
         "o4_blocking": _pairs_sql([RULE_1, RULE_2], []),
+        "o4_link_only": link_only_sql,
         "o5_salted_blocking": _pairs_sql([RULE_1], []),
         "o6_comparison_vectors": vectors_sql,
         "o7_match_weights": predict_sql,
+        "o7_tf_adjusted": tf_adjusted_sql,
         "o8_u_histogram": (
             f"SELECT {gamma_cols}, count(*) AS pattern_count FROM ("
             f"SELECT {', '.join(gammas)} FROM ({u_pairs}) p) v "
@@ -805,6 +988,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_minhash": minhash_sql,
         "dedup_ngram_jaccard": ngram_sql,
+        # planted-copy recovery: exact copies share identical simhash
+        # fingerprints, so the chunk-bucket path MUST emit them at
+        # hamming 0; missing any planted pair fails rows+hash
+        "dedup_simhash": (
+            f"SELECT {DOC_UID} AS {DOC_UID}_l, "
+            f"{DOC_UID} + 100000 AS {DOC_UID}_r, 0 AS hamming "
+            f"FROM documents WHERE {DOC_UID} % 10 = 0"
+        ),
+        # the Spark side computes recall@1 vs brute force and returns a
+        # boolean gate; the oracle asserts the gate holds
+        "sim_topk_lsh": (
+            "SELECT count(*) AS n_queries, true AS recall_ok "
+            "FROM embeddings WHERE vec_id < 50"
+        ),
+        # md5 recomputed by DuckDB over the same bytes the pandas UDF
+        # hashed inside the executor (NULL text -> empty payload)
+        "multimodal_features": (
+            f"SELECT {DOC_UID} AS media_id, CAST(16 AS INTEGER) AS "
+            f"feature_dim, md5(coalesce(text, '')) AS payload_md5 "
+            f"FROM documents"
+        ),
         # ::DOUBLE[] casts: Spark computes cosine in double; DuckDB's
         # float32 path diverges in the last ulps otherwise
         "sim_topk_bruteforce": (
@@ -834,9 +1038,6 @@ def oracle_sql() -> dict[str, str]:
             f"greatest({token_count_sql('text')}, 1) AS stopword_ratio "
             f"FROM documents"
         ),
-        # dedup_simhash, sim_topk_lsh, multimodal_features: rows-only
-        # (bit-twiddling / hyperplane literals / stubbed decode — not
-        # cleanly ANSI-expressible)
     }
 
 

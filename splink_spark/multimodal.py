@@ -71,21 +71,26 @@ def extract_features(
     payload_col: str = "payload",
     id_col: str = "media_id",
     fake: bool = True,
+    with_checksum: bool = False,
 ) -> DataFrame:
     """mapInPandas feature extraction: binary payload -> float array.
 
     Batch shape: input Arrow batches of (id, payload); output
-    (id, feature:array<float>). Partitioning is preserved — no shuffle;
-    at scale this is a map-only pass with bytes never leaving executors.
+    (id, feature:array<float>[, payload_md5]). Partitioning is preserved
+    — no shuffle; at scale this is a map-only pass with bytes never
+    leaving executors.
+
+    ``with_checksum`` adds md5(payload) computed INSIDE the UDF — an
+    oracle-recomputable witness that the Arrow plumbing delivered the
+    exact bytes to Python (the driver checks it against DuckDB's md5).
     """
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType(), False),
-            T.StructField(
-                "feature", T.ArrayType(T.FloatType()), False
-            ),
-        ]
-    )
+    fields = [
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+    if with_checksum:
+        fields.append(T.StructField("payload_md5", T.StringType(), False))
+    out_schema = T.StructType(fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -93,7 +98,13 @@ def extract_features(
                 decode_image(p, fake=fake).tolist()
                 for p in pdf[payload_col]
             ]
-            yield pd.DataFrame({id_col: pdf[id_col], "feature": feats})
+            out = {id_col: pdf[id_col], "feature": feats}
+            if with_checksum:
+                out["payload_md5"] = [
+                    hashlib.md5(p or b"").hexdigest()
+                    for p in pdf[payload_col]
+                ]
+            yield pd.DataFrame(out)
 
     return media.select(id_col, payload_col).mapInPandas(run, out_schema)
 

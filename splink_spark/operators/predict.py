@@ -134,8 +134,45 @@ def bayes_factor_sql(comp: Comparison) -> str:
     return " ".join(parts)
 
 
+def tf_adjustment_sql(comp: Comparison) -> str:
+    """ANSI mirror of :func:`tf_adjustment_expr` (DuckDB oracle): the
+    same sub-expression structure (greatest of the two tf sides, clamped
+    by tf_minimum_u_value, log2 of u/tf times the weight, summed from a
+    0.0 base) so the doubles track the Spark side; callers should still
+    round derived weight columns (log2 is evaluated by each engine's
+    libm)."""
+    parts = ["CAST(0.0 AS DOUBLE)"]
+    for lv in comp.scored_levels:
+        if lv.tf_adjustment_column is None:
+            continue
+        g = comp.gamma_of(lv)
+        tfc = tf_column_name(lv.tf_adjustment_column)
+        tf_val = f"greatest({tfc}_l, {tfc}_r)"
+        if lv.tf_minimum_u_value > 0:
+            tf_val = (
+                f"greatest({tf_val}, "
+                f"CAST({lv.tf_minimum_u_value!r} AS DOUBLE))"
+            )
+        adj = (
+            f"log2(CAST({lv.u_probability!r} AS DOUBLE) / {tf_val}) * "
+            f"CAST({lv.tf_adjustment_weight!r} AS DOUBLE)"
+        )
+        parts.append(
+            f"(CASE WHEN ({comp.gamma_column} = {g}) "
+            f"AND {tfc}_l IS NOT NULL AND {tfc}_r IS NOT NULL "
+            f"THEN {adj} ELSE CAST(0.0 AS DOUBLE) END)"
+        )
+    return " + ".join(parts)
+
+
 def match_weight_sql(settings: Settings) -> str:
-    """ANSI expression for match_weight over gamma columns (oracle)."""
+    """ANSI expression for match_weight over gamma columns (oracle).
+    Comparisons with TF-adjusted levels include the adjustment term,
+    mirroring :func:`predict_from_comparison_vectors`."""
     terms = [f"CAST({settings.prior_match_weight!r} AS DOUBLE)"]
-    terms += [f"({bayes_factor_sql(c)})" for c in settings.comparisons]
+    for c in settings.comparisons:
+        bf = f"({bayes_factor_sql(c)})"
+        if any(lv.tf_adjustment_column for lv in c.scored_levels):
+            bf = f"({bf} + ({tf_adjustment_sql(c)}))"
+        terms.append(bf)
     return " + ".join(terms)
