@@ -24,10 +24,48 @@ from pyspark.sql import functions as F
 # normalization + keys
 # ---------------------------------------------------------------------------
 
-def normalize_text(col: Column | str) -> Column:
-    """lowercase, strip punctuation to spaces, collapse whitespace."""
+# Diacritic transliteration table (Latin-1 Supplement + Latin
+# Extended-A, lowercase — applied after lower()). Char-for-char so the
+# SAME table drives Spark's translate() and DuckDB's translate(): both
+# engines produce byte-identical output (unlike NFD-based strip_accents,
+# whose handling of non-decomposable chars like 'ł' is engine-specific).
+# reference: splink/comparison_level_library.py (case/accent
+# normalisation preprocessing conventions).
+_ACCENT_SRC = (
+    "àáâãäåāăąçćĉċčďđèéêëēĕėęěĝğġģĥħìíîïĩīĭįıĵķĺļľŀłñńņňŉòóôõöøōŏő"
+    "ŕŗřśŝşšţťŧùúûüũūŭůűųŵýÿŷźżžðþ"
+)
+_ACCENT_DST = (
+    "aaaaaaaaacccccddeeeeeeeeegggghhiiiiiiiiijklllllnnnnnooooooooo"
+    "rrrsssstttuuuuuuuuuuwyyyzzzdt"
+)
+assert len(_ACCENT_SRC) == len(_ACCENT_DST)
+# multi-char expansions translate() can't express (both engines use
+# the same replace() calls)
+_ACCENT_EXPANSIONS = [("ß", "ss"), ("æ", "ae"), ("œ", "oe")]
+
+
+def strip_diacritics(col: Column | str) -> Column:
+    """Transliterate accented latin chars to ASCII (lowercase input)."""
     c = F.col(col) if isinstance(col, str) else col
-    c = F.lower(c)
+    for src, dst in _ACCENT_EXPANSIONS:
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    return F.translate(c, _ACCENT_SRC, _ACCENT_DST)
+
+
+def strip_diacritics_sql(col: str) -> str:
+    """DuckDB-equivalent of :func:`strip_diacritics`."""
+    inner = col
+    for src, dst in _ACCENT_EXPANSIONS:
+        inner = f"replace({inner}, '{src}', '{dst}')"
+    return f"translate({inner}, '{_ACCENT_SRC}', '{_ACCENT_DST}')"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lowercase, transliterate diacritics, strip punctuation to
+    spaces, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = strip_diacritics(F.lower(c))
     c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
@@ -35,8 +73,9 @@ def normalize_text(col: Column | str) -> Column:
 
 def normalize_text_sql(col: str) -> str:
     """DuckDB-equivalent of :func:`normalize_text`."""
+    inner = strip_diacritics_sql(f"lower({col})")
     return (
-        "trim(regexp_replace(regexp_replace(lower(" + col + "), "
+        f"trim(regexp_replace(regexp_replace({inner}, "
         "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
     )
 

@@ -30,13 +30,20 @@ def missingness(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 def profile_column_values(
     df: DataFrame, col: str, top_k: int = 20
 ) -> DataFrame:
-    """Top-k most frequent values with counts and share."""
+    """Top-k most frequent values with counts and share.
+
+    Scale note: ``orderBy().limit(k)`` plans as TakeOrderedAndProject
+    (per-partition top-k, merged on the driver) — no global single
+    partition window, so a high-cardinality column (url, title) never
+    funnels every distinct value through one task. The row_number
+    window that assigns ranks runs over only the k surviving rows.
+    """
     total = df.count()
     counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("value_count"))
+    top = counts.orderBy(F.desc("value_count"), F.col(col)).limit(top_k)
     w = Window.orderBy(F.desc("value_count"), F.col(col))
     return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= top_k)
+        top.withColumn("rn", F.row_number().over(w))
         .withColumn("share", F.col("value_count") / F.lit(total))
         .select(
             F.col(col).cast("string").alias("value"),

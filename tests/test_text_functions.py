@@ -1,0 +1,130 @@
+"""Diacritic normalization parity + SimHash block-key scale census.
+
+reference: splink/comparison_level_library.py (accent-normalisation
+preprocessing convention); Manku et al. WWW'07 (simhash blocks).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from splink_spark.functions.text import (
+    normalize_text,
+    normalize_text_sql,
+    strip_diacritics,
+)
+from splink_spark.operators.dedup import simhash_block_keys
+
+ACCENTED = [
+    "Crème BRÛLÉE — żółć, Ångström!",
+    "ßtraße æon œuvre",
+    "José Müller-Lüdenscheidt",
+    "ŁÓDŹ piękna",  # uppercase accents must lower THEN transliterate
+    "plain ascii stays put 123",
+    "",
+    None,
+]
+
+
+def test_normalize_text_spark_duckdb_parity(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(ACCENTED)], "i int, s string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_text("s").alias("n")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(ACCENTED):
+        want = con.execute(
+            f"SELECT {normalize_text_sql('?')}", [s]
+        ).fetchone()[0]
+        assert got[i] == want, (s, got[i], want)
+
+
+def test_strip_diacritics_transliterates_not_deletes(spark):
+    df = spark.createDataFrame([("żółć café",)], "s string")
+    out = df.select(strip_diacritics(F.lower("s")).alias("t")).first()["t"]
+    assert out == "zolc cafe"
+
+
+def test_normalized_tokens_survive_for_accented_text(spark):
+    # regression: round-1 normalize_text DELETED non-ascii chars, so
+    # accented corpora lost most of their tokens
+    df = spark.createDataFrame([("Ünïcode Wörter überall",)], "s string")
+    out = df.select(normalize_text("s").alias("n")).first()["n"]
+    assert out == "unicode worter uberall"
+
+
+# ---------------------------------------------------------------------------
+# SimHash block-triple scheme
+# ---------------------------------------------------------------------------
+
+
+def _flip_bits(v: int, bits: list[int]) -> int:
+    for b in bits:
+        v ^= 1 << b
+    return v
+
+
+def test_simhash_blocks_recall_exact_for_hamming_le_3(spark):
+    """Pigeonhole guarantee: every pair within hamming<=3 shares at
+    least one (combo, key) block-triple."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        base = rng.getrandbits(64)
+        nflips = rng.randint(0, 3)
+        bits = rng.sample(range(64), nflips)
+        near = _flip_bits(base, bits)
+        rows.append((2 * i, _signed(base)))
+        rows.append((2 * i + 1, _signed(near)))
+    fp = spark.createDataFrame(rows, "doc_id long, simhash long")
+    keyed = simhash_block_keys(fp, "doc_id")
+    hits = (
+        keyed.alias("l")
+        .join(
+            keyed.alias("r"),
+            F.expr(
+                "l.combo = r.combo AND l.key = r.key "
+                "AND l.doc_id + 1 = r.doc_id AND l.doc_id % 2 = 0"
+            ),
+        )
+        .select(F.col("l.doc_id").alias("doc_id"))
+        .distinct()
+        .count()
+    )
+    assert hits == 200
+
+
+def _signed(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_simhash_candidate_volume_near_linear(spark):
+    """Census: sum over (combo,key) buckets of C(size,2) is the join's
+    candidate volume. With ~32-bit keys it must grow ~linearly in
+    corpus size (the old 16-bit chunk scheme grew quadratically once
+    buckets saturated)."""
+    import random
+
+    def volume(n: int) -> int:
+        rng = random.Random(13)
+        rows = [(i, _signed(rng.getrandbits(64))) for i in range(n)]
+        fp = spark.createDataFrame(rows, "doc_id long, simhash long")
+        keyed = simhash_block_keys(fp, "doc_id")
+        census = keyed.groupBy("combo", "key").count()
+        row = census.agg(
+            F.sum(F.expr("count * (count - 1) / 2")).alias("vol")
+        ).first()
+        return int(row["vol"] or 0)
+
+    v1 = volume(500)
+    v10 = volume(5000)
+    # random 64-bit fingerprints: essentially zero collisions at both
+    # scales; allow a generous linear-plus-slack envelope
+    assert v10 <= 15 * v1 + 50, (v1, v10)
