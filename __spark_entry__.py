@@ -481,6 +481,26 @@ def q_o19_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return block_census(_docs(spark, sf_dir), ["source", "lang"])
 
 
+def q_o19_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O19 cumulative rollup: marginal + running pair counts per rule.
+
+    reference: splink/analyse_blocking.py::
+    cumulative_comparisons_from_blocking_rules_records."""
+    from splink_spark.operators.blocking import (
+        cumulative_comparisons_from_blocking_rules,
+    )
+
+    out = cumulative_comparisons_from_blocking_rules(
+        _docs(spark, sf_dir), [RULE_1, RULE_2], uid=DOC_UID
+    )
+    return out.select(
+        "match_key",
+        "rule",
+        F.col("row_count").cast("long").alias("row_count"),
+        F.col("cumulative_rows").cast("long").alias("cumulative_rows"),
+    )
+
+
 def q_o21_missingness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return missingness(
         _docs(spark, sf_dir), ["doc_id", "text", "lang", "source", "n_chars"]
@@ -644,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o20_rule_discovery": q_o20_rule_discovery,
         "o17_incremental": q_o17_incremental,
         "o19_block_census": q_o19_census,
+        "o19_cumulative": q_o19_cumulative,
         "o21_missingness": q_o21_missingness,
         "o21_profile_values": q_o21_profile,
         "o22_truth_space": q_o22_truth_space,
@@ -960,6 +981,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, lang, count(*) AS block_size, "
             "CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS pairs_in_block"
             " FROM documents GROUP BY source, lang"
+        ),
+        "o19_cumulative": (
+            f"WITH pairs AS ({_pairs_sql([RULE_1, RULE_2], [])}), "
+            "counts AS (SELECT match_key, count(*) AS row_count FROM pairs"
+            " GROUP BY match_key), "
+            "rules(match_key, rule) AS (VALUES "
+            f"(0, '{RULE_1.rule}'), (1, '{RULE_2.rule}')) "
+            "SELECT r.match_key, r.rule, "
+            "CAST(coalesce(c.row_count, 0) AS BIGINT) AS row_count, "
+            "CAST(sum(coalesce(c.row_count, 0)) OVER (ORDER BY r.match_key)"
+            " AS BIGINT) AS cumulative_rows "
+            "FROM rules r LEFT JOIN counts c USING (match_key)"
         ),
         "o21_missingness": (
             " UNION ALL ".join(

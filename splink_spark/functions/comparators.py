@@ -262,15 +262,37 @@ def cosine_similarity_level(
 
 
 def phonetic_match_level(
-    col: str, m: float | None = None, u: float | None = None
+    col: str,
+    m: float | None = None,
+    u: float | None = None,
+    method: str = "dmetaphone",
 ) -> ComparisonLevel:
-    """Phonetic (soundex) equality — the reference exposes
-    double-metaphone via its Scala jar (classes DoubleMetaphone/
-    DoubleMetaphoneAlt, used through distance_function_level); Spark
-    ships soundex natively, which covers the same comparison slot."""
+    """Phonetic equality. ``method="dmetaphone"`` matches the
+    reference's Scala-jar double-metaphone (classes DoubleMetaphone/
+    DoubleMetaphoneAlt via distance_function_level): two names agree
+    when EITHER code of one equals EITHER code of the other.
+    ``method="soundex"`` uses Spark's native soundex (JVM-side, no
+    Python boundary) — prefer it in hot paths where the coarser
+    encoding is acceptable. Requires register_udfs() for dmetaphone
+    (the Linker registers them automatically)."""
+    if method == "soundex":
+        return ComparisonLevel(
+            label=f"soundex {col}",
+            condition=f"soundex({col}_l) = soundex({col}_r)",
+            m_probability=m,
+            u_probability=u,
+        )
+    cond = (
+        f"dmetaphone({col}_l) != '' AND ("
+        f"dmetaphone({col}_l) = dmetaphone({col}_r) OR "
+        f"dmetaphone({col}_l) = dmetaphone_alt({col}_r) OR "
+        f"dmetaphone_alt({col}_l) = dmetaphone({col}_r) OR "
+        f"(dmetaphone_alt({col}_l) != '' AND "
+        f"dmetaphone_alt({col}_l) = dmetaphone_alt({col}_r)))"
+    )
     return ComparisonLevel(
-        label=f"soundex {col}",
-        condition=f"soundex({col}_l) = soundex({col}_r)",
+        label=f"dmetaphone {col}",
+        condition=cond,
         m_probability=m,
         u_probability=u,
     )

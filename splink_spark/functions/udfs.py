@@ -62,9 +62,34 @@ def make_damerau_levenshtein_udf():
     return damerau_levenshtein_udf
 
 
+def make_double_metaphone_udf(alternate: bool = False):
+    """Double-metaphone code (primary, or alternate when
+    ``alternate=True``) — mirrors the reference jar's DoubleMetaphone /
+    DoubleMetaphoneAlt pair. Per-string state machine inside an Arrow
+    batch (see functions/metaphone.py for why it can't vectorize)."""
+    from pyspark.sql.types import StringType
+
+    from splink_spark.functions.metaphone import double_metaphone
+
+    idx = 1 if alternate else 0
+
+    @pandas_udf(StringType())
+    def dmetaphone_udf(a: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if v is None else double_metaphone(v)[idx]
+                for v in _to_list(a)
+            ]
+        )
+
+    return dmetaphone_udf
+
+
 def register_udfs(spark: SparkSession) -> None:
     """Register the fuzzy comparators for use in SQL expressions
     (comparison-level conditions reference them by name)."""
     spark.udf.register("jaro_winkler", make_jaro_winkler_udf())
     spark.udf.register("jaro_sim", make_jaro_udf())
     spark.udf.register("damerau_levenshtein", make_damerau_levenshtein_udf())
+    spark.udf.register("dmetaphone", make_double_metaphone_udf(False))
+    spark.udf.register("dmetaphone_alt", make_double_metaphone_udf(True))

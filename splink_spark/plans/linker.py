@@ -67,6 +67,12 @@ class Linker:
         self._em_m_sessions: dict[int, list[np.ndarray]] = {}
         self._em_u_sessions: dict[int, list[np.ndarray]] = {}
         validate_settings_against_schemas(settings, inputs)
+        # comparison-level SQL may reference the fuzzy/phonetic UDFs by
+        # name (jaro_winkler, dmetaphone, ...) — register once per
+        # session (re-registration is a cheap overwrite)
+        from splink_spark.functions.udfs import register_udfs
+
+        register_udfs(self.spark)
 
     # -- stage: concat (+ TF) ---------------------------------------------
 
