@@ -98,6 +98,46 @@ def main() -> None:
     preds = scored.filter(F.col("match_probability") >= 0.5)
     n_scored_kept = preds.count()
 
+    # -- stage 3b: u-estimation-style sampled-pair scoring load.
+    #    SAME workload and SAME metric as BENCH/run_scaling.py /
+    #    BENCH/BASELINE.md: the headline quotient is
+    #    (blocked + sampled pairs) / (block_and_score + score_sampled).
+    t0 = time.time()
+    import math
+
+    target_pairs = int(os.environ.get("SAMPLE_PAIRS", "2000000"))
+    frac = min(1.0, math.sqrt(2.0 * target_pairs) / max(n_pages, 1))
+    buckets = 1_000_000
+    keep = int(frac * buckets)
+    samp = prepared.filter(
+        F.pmod(F.xxhash64(F.col("unique_id"), F.lit(7)), F.lit(buckets))
+        < keep
+    ).select("unique_id", "text_tokens", "bk_title", "bk_domain")
+    rand_pairs = (
+        samp.alias("l")
+        .join(samp.alias("r"), F.expr("l.unique_id < r.unique_id"))
+        .select(
+            F.col("l.unique_id").alias("unique_id_l"),
+            F.col("r.unique_id").alias("unique_id_r"),
+            F.col("l.text_tokens").alias("text_tokens_l"),
+            F.col("r.text_tokens").alias("text_tokens_r"),
+            F.col("l.bk_title").alias("bk_title_l"),
+            F.col("r.bk_title").alias("bk_title_r"),
+            F.col("l.bk_domain").alias("bk_domain_l"),
+            F.col("r.bk_domain").alias("bk_domain_r"),
+        )
+    )
+    scored_sample = predict_from_comparison_vectors(
+        compute_comparison_vectors(rand_pairs, settings), settings
+    )
+    # aggregate over match_weight, NOT count(): a bare count would let
+    # Catalyst prune the scoring projection and measure only the join
+    agg = scored_sample.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("match_weight").alias("s")
+    ).collect()[0]
+    n_sampled = int(agg["n"])
+    timings["score_sampled"] = time.time() - t0
+
     # -- stage 4: cluster ------------------------------------------------
     t0 = time.time()
     edges = preds.select("unique_id_l", "unique_id_r")
@@ -134,11 +174,14 @@ def main() -> None:
     pipeline_secs = (
         timings["derive_keys"]
         + timings["block_and_score"]
+        + timings["score_sampled"]
         + timings["cluster"]
     )
-    # scoring throughput (matches BENCH/BASELINE.md's metric): pairs
-    # through the fused block+score pass per second of that pass
-    scored_pairs_per_sec = n_pairs / max(timings["block_and_score"], 1e-9)
+    # scoring throughput — the ONE formula shared with
+    # BENCH/run_scaling.py and BENCH/BASELINE.md:
+    # (blocked + sampled pairs) / (fused block+score + sampled-score wall)
+    scoring_sec = timings["block_and_score"] + timings["score_sampled"]
+    scored_pairs_per_sec = (n_pairs + n_sampled) / max(scoring_sec, 1e-9)
 
     print(
         json.dumps(
@@ -151,6 +194,9 @@ def main() -> None:
                 "cores": cores,
                 "n_pages": n_pages,
                 "pairs_generated": n_pairs,
+                "pairs_sampled": n_sampled,
+                "pairs_scored_total": n_pairs + n_sampled,
+                "scoring_sec": round(scoring_sec, 3),
                 "pairs_kept": n_scored_kept,
                 "pipeline_sec": round(pipeline_secs, 3),
                 "total_sec": round(total, 3),
