@@ -369,6 +369,104 @@ def q_o9_gamma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _em_prob_expr(settings: Settings, lam: float) -> str:
+    """Shared Spark/DuckDB SQL for the EM E-step posterior
+    P(match|gamma) = lam*prod(m) / (lam*prod(m) + (1-lam)*prod(u)),
+    gamma = -1 contributing factor 1 on both sides. One string, one
+    expression tree, evaluated by both engines so the doubles track
+    (reference: splink/expectation_maximisation.py E-step SQL)."""
+    m_factors, u_factors = [], []
+    for comp in settings.comparisons:
+        g = comp.gamma_column
+        mp = [f"CASE {g}", "WHEN -1 THEN CAST(1.0 AS DOUBLE)"]
+        up = [f"CASE {g}", "WHEN -1 THEN CAST(1.0 AS DOUBLE)"]
+        for k, lv in enumerate(comp.scored_levels):
+            mp.append(f"WHEN {k} THEN CAST({lv.m_probability!r} AS DOUBLE)")
+            up.append(f"WHEN {k} THEN CAST({lv.u_probability!r} AS DOUBLE)")
+        mp.append("ELSE CAST(1.0 AS DOUBLE) END")
+        up.append("ELSE CAST(1.0 AS DOUBLE) END")
+        m_factors.append("(" + " ".join(mp) + ")")
+        u_factors.append("(" + " ".join(up) + ")")
+    prod_m = " * ".join(m_factors)
+    prod_u = " * ".join(u_factors)
+    lam_s = f"CAST({lam!r} AS DOUBLE)"
+    one_m_lam = f"CAST({1.0 - lam!r} AS DOUBLE)"
+    return (
+        f"({lam_s} * ({prod_m})) / "
+        f"({lam_s} * ({prod_m}) + {one_m_lam} * ({prod_u}))"
+    )
+
+
+def _em_e_step_sql(settings: Settings, lam: float, hist_rel: str) -> str:
+    """O10 — one E-step over the gamma histogram ``hist_rel``
+    (columns: gamma_*, pattern_count)."""
+    gamma_cols = ", ".join(settings.gamma_columns)
+    p = _em_prob_expr(settings, lam)
+    return (
+        f"SELECT {gamma_cols}, pattern_count, "
+        f"round({p}, 9) AS p_match FROM {hist_rel}"
+    )
+
+
+def _em_m_step_sql(settings: Settings, lam: float, hist_rel: str) -> str:
+    """O11 — one M-step from the E-step posteriors:
+    m_new[c,k] = sum(p*cnt)[g_c=k] / sum(p*cnt)[g_c!=-1] (u with 1-p).
+    The per-level numerators aggregate first; the denominator is the
+    window sum across the comparison's levels."""
+    p = _em_prob_expr(settings, lam)
+    parts = []
+    for comp in settings.comparisons:
+        g = comp.gamma_column
+        parts.append(
+            f"SELECT '{comp.output_column_name}' AS comparison, {g} AS gamma_value, "
+            f"sum(p * pattern_count) AS m_num, "
+            f"sum((CAST(1.0 AS DOUBLE) - p) * pattern_count) AS u_num "
+            f"FROM hp WHERE {g} != -1 GROUP BY {g}"
+        )
+    inner = " UNION ALL ".join(parts)
+    return (
+        f"WITH hp AS (SELECT *, {p} AS p FROM {hist_rel}) "
+        f"SELECT comparison, gamma_value, "
+        f"round(m_num / sum(m_num) OVER (PARTITION BY comparison), 9)"
+        f" AS m_new, "
+        f"round(u_num / sum(u_num) OVER (PARTITION BY comparison), 9)"
+        f" AS u_new FROM ({inner}) t"
+    )
+
+
+def q_o10_e_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10 — EM E-step posteriors per agreement pattern, evaluated by
+    the same SQL expression tree the DuckDB oracle runs.
+    reference: splink/expectation_maximisation.py::
+    compute_new_parameters_sql (E-step CTE)."""
+    settings = documents_settings()
+    hist = q_o9_gamma_histogram(spark, sf_dir)
+    hist.createOrReplaceTempView("__em_hist")
+    return spark.sql(
+        _em_e_step_sql(
+            settings,
+            settings.probability_two_random_records_match,
+            "__em_hist",
+        )
+    )
+
+
+def q_o11_m_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 — one EM M-step (new m/u per comparison level).
+    reference: splink/expectation_maximisation.py::
+    compute_new_parameters_sql (M-step aggregation)."""
+    settings = documents_settings()
+    hist = q_o9_gamma_histogram(spark, sf_dir)
+    hist.createOrReplaceTempView("__em_hist")
+    return spark.sql(
+        _em_m_step_sql(
+            settings,
+            settings.probability_two_random_records_match,
+            "__em_hist",
+        )
+    )
+
+
 def q_o14_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     lam = estimate_probability_two_random_records_match(
@@ -657,6 +755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o7_tf_adjusted": q_o7_tf_adjusted,
         "o8_u_histogram": q_o8_u_histogram,
         "o9_gamma_histogram": q_o9_gamma_histogram,
+        "o10_e_step": q_o10_e_step,
+        "o11_m_step": q_o11_m_step,
         "o13_m_histogram": q_o13_m_histogram,
         "o14_lambda": q_o14_lambda,
         "o15_connected_components": q_o15_cluster,
@@ -936,6 +1036,18 @@ def oracle_sql() -> dict[str, str]:
         "o9_gamma_histogram": (
             f"SELECT {gamma_cols}, count(*) AS pattern_count "
             f"FROM ({vectors_sql}) v GROUP BY {gamma_cols}"
+        ),
+        "o10_e_step": _em_e_step_sql(
+            settings,
+            settings.probability_two_random_records_match,
+            f"(SELECT {gamma_cols}, count(*) AS pattern_count "
+            f"FROM ({vectors_sql}) v GROUP BY {gamma_cols}) h",
+        ),
+        "o11_m_step": _em_m_step_sql(
+            settings,
+            settings.probability_two_random_records_match,
+            f"(SELECT {gamma_cols}, count(*) AS pattern_count "
+            f"FROM ({vectors_sql}) v GROUP BY {gamma_cols}) h",
         ),
         "o13_m_histogram": (
             f"SELECT {gamma_cols}, count(*) AS pattern_count FROM ("

@@ -71,8 +71,16 @@ def with_blocking_keys(
     so recrawl/mirror duplicates land in the same block.
     """
     out = pages
-    if title_col not in pages.columns and "html" in pages.columns:
-        out = out.withColumn(title_col, extract_title_from_html("html"))
+    if title_col not in pages.columns:
+        if "html" in pages.columns:
+            out = out.withColumn(title_col, extract_title_from_html("html"))
+        else:
+            # no title and no html (text-only corpus): the leading text
+            # slice is the best available title surrogate — still a
+            # deterministic, low-cardinality-safe blocking key
+            out = out.withColumn(
+                title_col, F.substring(F.col(text_col), 1, 80)
+            )
     dom = url_domain(url_col)
     tok_seq = F.array_remove(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), ""

@@ -1,8 +1,23 @@
-"""Table registry: read the driver parquet fixtures by name.
+"""Table registry: read/write the engine's tables by name, across
+table formats.
 
 The reference has no file-format layer (tables are registered into the
-backend, reference: splink/linker.py::Linker.register_table); ours reads
-parquet directly (Iceberg catalogs slot in by swapping the reader).
+backend, reference: splink/linker.py::Linker.register_table). Ours
+abstracts the format behind one registry so the same pipeline runs on:
+
+- ``parquet`` — plain directories (the sandbox fixtures; always works);
+- ``iceberg`` — an Iceberg catalog table (the north-rule production
+  format). Iceberg needs the ``iceberg-spark-runtime`` jar and a
+  configured catalog (``spark.sql.catalog.<name>``); this sandbox
+  ships neither, so the path is feature-gated: ``iceberg_available()``
+  probes the session and the reader/writer raise a clear error instead
+  of an opaque ClassNotFoundException. At cluster scale Iceberg is the
+  right sink because checkpoint resume (plans/stages.py) maps onto
+  snapshot IDs and partition pruning comes from the table metadata
+  rather than directory layout.
+
+Reads are format-agnostic DataFrames either way — every operator in
+this engine consumes DataFrames, never paths.
 """
 
 from __future__ import annotations
@@ -15,6 +30,68 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+
+def iceberg_available(
+    spark: SparkSession, catalog: str = "spark_catalog"
+) -> bool:
+    """True when the Iceberg runtime + a catalog are usable in this
+    session. Cheap probe: the extension class must be loadable JVM-side
+    and the catalog implementation configured."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — capability probe needs the JVM
+        jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.extensions"
+            ".IcebergSparkSessionExtensions"
+        )
+    except Exception:
+        return False
+    impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+    return impl is not None
+
+
+class TableRegistry:
+    """Named-table access over one format.
+
+    ``fmt="parquet"``: ``base`` is a directory of ``<name>.parquet``.
+    ``fmt="iceberg"``: ``base`` is a catalog.namespace prefix, tables
+    are ``<base>.<name>``.
+    """
+
+    def __init__(
+        self, spark: SparkSession, base: str, fmt: str = "parquet"
+    ) -> None:
+        if fmt not in ("parquet", "iceberg"):
+            raise ValueError(f"unknown table format {fmt!r}")
+        if fmt == "iceberg" and not iceberg_available(
+            spark, base.split(".", 1)[0]
+        ):
+            raise RuntimeError(
+                "iceberg format requested but no Iceberg runtime/catalog "
+                "is configured in this session (needs the "
+                "iceberg-spark-runtime jar and spark.sql.catalog.<name>)"
+            )
+        self.spark = spark
+        self.base = base
+        self.fmt = fmt
+
+    def read(self, name: str) -> DataFrame:
+        if self.fmt == "iceberg":
+            return self.spark.read.table(f"{self.base}.{name}")
+        return self.spark.read.parquet(
+            os.path.join(self.base, f"{name}.parquet")
+        )
+
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+        if self.fmt == "iceberg":
+            df.writeTo(f"{self.base}.{name}").createOrReplace()
+            return
+        df.write.mode(mode).parquet(
+            os.path.join(self.base, f"{name}.parquet")
+        )
+
+    def read_all(self) -> dict[str, DataFrame]:
+        return {t: self.read(t) for t in TABLES}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

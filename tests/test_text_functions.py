@@ -128,3 +128,65 @@ def test_simhash_candidate_volume_near_linear(spark):
     # random 64-bit fingerprints: essentially zero collisions at both
     # scales; allow a generous linear-plus-slack envelope
     assert v10 <= 15 * v1 + 50, (v1, v10)
+
+
+# ---------------------------------------------------------------------------
+# table registry / format layer
+# ---------------------------------------------------------------------------
+
+
+def test_registry_parquet_roundtrip(spark, tmp_path):
+    from splink_spark.sources.registry import TableRegistry
+
+    reg = TableRegistry(spark, str(tmp_path), fmt="parquet")
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    reg.write(df, "documents")
+    back = reg.read("documents")
+    assert back.count() == 10
+
+
+def test_registry_iceberg_gated(spark, tmp_path):
+    from splink_spark.sources.registry import TableRegistry, iceberg_available
+
+    assert iceberg_available(spark) is False  # sandbox has no runtime jar
+    with pytest.raises(RuntimeError, match="[Ii]ceberg"):
+        TableRegistry(spark, "cat.ns", fmt="iceberg")
+
+
+def test_submit_pipeline_runs_locally(spark, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    inp = str(tmp_path / "pages.parquet")
+    # shape the documents table into the north-rule page schema
+    (
+        spark.read.parquet(docs)
+        .selectExpr(
+            "concat('https://example.com/', cast(doc_id as string)) AS url",
+            "text",
+            "lang",
+        )
+        .limit(300)
+        .write.mode("overwrite")
+        .parquet(inp)
+    )
+    out = str(tmp_path / "clusters.parquet")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "/root/repo/tools/submit_pipeline.py",
+            "--input", inp, "--output", out,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    stats = json.loads(line)
+    assert stats["n_pages"] == 300
+    assert 0 < stats["n_clusters"] <= 300
+    assert spark.read.parquet(out).columns  # readable output
