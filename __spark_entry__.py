@@ -43,6 +43,7 @@ from splink_spark.operators.dedup import (
     simhash_near_duplicates,
 )
 from splink_spark.operators.predict import (
+    match_weight_breakdown_sql,
     match_weight_sql,
     predict_from_comparison_vectors,
 )
@@ -467,6 +468,18 @@ def q_o11_m_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_o23_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O23 — waterfall chart data: per-pair per-comparison log2-BF
+    contributions (the chart's record set; JSON rendering out of
+    scope). reference: splink/charts.py::waterfall_chart."""
+    from splink_spark.operators.predict import match_weight_breakdown
+
+    settings = documents_settings()
+    return match_weight_breakdown(
+        _vectors(spark, sf_dir), settings, uid=DOC_UID
+    )
+
+
 def q_o14_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     lam = estimate_probability_two_random_records_match(
@@ -768,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o21_missingness": q_o21_missingness,
         "o21_profile_values": q_o21_profile,
         "o22_truth_space": q_o22_truth_space,
+        "o23_waterfall": q_o23_waterfall,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1036,6 +1050,9 @@ def oracle_sql() -> dict[str, str]:
         "o9_gamma_histogram": (
             f"SELECT {gamma_cols}, count(*) AS pattern_count "
             f"FROM ({vectors_sql}) v GROUP BY {gamma_cols}"
+        ),
+        "o23_waterfall": match_weight_breakdown_sql(
+            settings, f"({vectors_sql}) v", uid=DOC_UID
         ),
         "o10_e_step": _em_e_step_sql(
             settings,

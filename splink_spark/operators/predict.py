@@ -117,6 +117,85 @@ def predict_from_comparison_vectors(
     return out
 
 
+def match_weight_breakdown(
+    vectors: DataFrame, settings: Settings, uid: str = "unique_id"
+) -> DataFrame:
+    """O23 — waterfall-chart DATA: per-pair, per-comparison log2-BF
+    contributions in long format (one row per comparison per pair,
+    plus the prior row), ordered by bar_sort_order. This is exactly
+    the record set the reference's waterfall chart renders
+    (reference: splink/charts.py::waterfall_chart /
+    splink/predict.py match-weight decomposition); chart JSON itself
+    stays out of scope (SURVEY §2.1).
+
+    One projection + stack() — C+1 output rows per pair, no joins.
+    """
+    comps = settings.comparisons
+    pairs = []
+    # prior term
+    pairs.append(
+        (
+            F.lit("prior"),
+            F.lit(-1),
+            F.lit(float(settings.prior_match_weight)),
+        )
+    )
+    for comp in comps:
+        pairs.append(
+            (
+                F.lit(comp.output_column_name),
+                F.col(comp.gamma_column),
+                bayes_factor_expr(comp),
+            )
+        )
+    entries = F.array(
+        *[
+            F.struct(
+                name.alias("comparison"),
+                gamma.cast("int").alias("gamma_value"),
+                bf.cast("double").alias("log2_bayes_factor"),
+            )
+            for name, gamma, bf in pairs
+        ]
+    )
+    exploded = vectors.select(
+        f"{uid}_l",
+        f"{uid}_r",
+        F.posexplode(entries).alias("bar_sort_order", "e"),
+    )
+    return exploded.select(
+        f"{uid}_l",
+        f"{uid}_r",
+        "bar_sort_order",
+        "e.comparison",
+        "e.gamma_value",
+        "e.log2_bayes_factor",
+    )
+
+
+def match_weight_breakdown_sql(
+    settings: Settings, vectors_rel: str, uid: str = "unique_id"
+) -> str:
+    """ANSI mirror of :func:`match_weight_breakdown` (DuckDB oracle):
+    UNION ALL of one SELECT per bar, same literals and CASE structure
+    as bayes_factor_sql."""
+    parts = [
+        f"SELECT {uid}_l, {uid}_r, 0 AS bar_sort_order, "
+        f"'prior' AS comparison, -1 AS gamma_value, "
+        f"CAST({float(settings.prior_match_weight)!r} AS DOUBLE)"
+        f" AS log2_bayes_factor FROM {vectors_rel}"
+    ]
+    for i, comp in enumerate(settings.comparisons):
+        parts.append(
+            f"SELECT {uid}_l, {uid}_r, {i + 1} AS bar_sort_order, "
+            f"'{comp.output_column_name}' AS comparison, "
+            f"CAST({comp.gamma_column} AS INT) AS gamma_value, "
+            f"({bayes_factor_sql(comp)}) AS log2_bayes_factor "
+            f"FROM {vectors_rel}"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def bayes_factor_sql(comp: Comparison) -> str:
     """ANSI CASE mapping gamma→log2-BF literal (DuckDB oracle).
 
