@@ -713,6 +713,29 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (inverted-file, deterministic k-means centroids) with a
+    driver-checkable quality gate: recall@1 vs brute force over the
+    first 50 queries must be >= 0.8 at nprobe=16/64 centroids."""
+    from splink_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 50)
+    ivf = ivf_topk(
+        emb, queries_df, k=5, n_centroids=64, nprobe=16, iters=2
+    ).select("query_id", "vec_id")
+    bf1 = brute_force_topk(emb, queries_df, k=1).select(
+        "query_id", "vec_id"
+    )
+    n_q = queries_df.count()
+    hits = bf1.join(ivf, ["query_id", "vec_id"], "left_semi").count()
+    recall = hits / max(n_q, 1)
+    return spark.createDataFrame(
+        [(n_q, bool(recall >= 0.8))],
+        "n_queries: long, recall_ok: boolean",
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     scores = langid_scores("text")
@@ -788,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_topk_bruteforce": q_sim_topk,
         "sim_topk_lsh": q_sim_lsh_topk,
+        "sim_topk_ivf": q_sim_ivf_topk,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal,
@@ -1160,6 +1184,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         # the Spark side computes recall@1 vs brute force and returns a
         # boolean gate; the oracle asserts the gate holds
+        "sim_topk_ivf": (
+            "SELECT count(*) AS n_queries, true AS recall_ok "
+            "FROM embeddings WHERE vec_id < 50"
+        ),
         "sim_topk_lsh": (
             "SELECT count(*) AS n_queries, true AS recall_ok "
             "FROM embeddings WHERE vec_id < 50"

@@ -259,6 +259,14 @@ class Settings:
     retain_matching_columns: bool = True
     em_convergence: float = 1e-4
     max_iterations: int = 25
+    # derived pair columns computed ONCE before the gamma cascade
+    # (ordered name -> Spark SQL expr over pair columns; later exprs
+    # may reference earlier names). Use for shared sub-expressions
+    # that multiple comparison levels need — e.g. a token-Jaccard
+    # value two threshold levels test — so the expensive array
+    # traversal happens once per pair, not once per level. Names
+    # starting with "__" are dropped after the gammas are computed.
+    derived_pair_expressions: dict[str, str] = field(default_factory=dict)
 
     @property
     def uid(self) -> str:
@@ -289,6 +297,7 @@ class Settings:
             "retain_matching_columns": self.retain_matching_columns,
             "em_convergence": self.em_convergence,
             "max_iterations": self.max_iterations,
+            "derived_pair_expressions": dict(self.derived_pair_expressions),
             "blocking_rules": [b.to_dict() for b in self.blocking_rules],
             "comparisons": [c.to_dict() for c in self.comparisons],
         }
@@ -307,6 +316,9 @@ class Settings:
             retain_matching_columns=d.get("retain_matching_columns", True),
             em_convergence=d.get("em_convergence", 1e-4),
             max_iterations=d.get("max_iterations", 25),
+            derived_pair_expressions=dict(
+                d.get("derived_pair_expressions", {})
+            ),
             blocking_rules=[
                 BlockingRule.from_dict(b) for b in d.get("blocking_rules", [])
             ],

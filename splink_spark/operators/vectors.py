@@ -30,11 +30,23 @@ def compute_comparison_vectors(
     logical width small only when asked, mirroring the reference's
     retain_matching_columns=False).
     """
+    from pyspark.sql import functions as F
+
     out = pairs
     if retain_columns is not None:
         out = out.select(*retain_columns)
+    # shared derived columns FIRST, each its own projection step so the
+    # optimizer cannot inline a non-cheap expression into multiple
+    # consumers (CollapseProject duplicates only cheap aliases) — the
+    # expensive sub-expression (e.g. one array_intersect) is computed
+    # exactly once per pair however many levels test it
+    for name, expr in settings.derived_pair_expressions.items():
+        out = out.withColumn(name, F.expr(expr))
     for comp in settings.comparisons:
         out = out.withColumn(comp.gamma_column, comp.gamma_expr())
+    drop = [n for n in settings.derived_pair_expressions if n.startswith("__")]
+    if drop:
+        out = out.drop(*drop)
     return out
 
 

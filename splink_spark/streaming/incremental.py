@@ -51,3 +51,45 @@ def stream_matches_to_new_records(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_exact_dedup(
+    pages_stream: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    event_time_col: str = "warc_ts",
+    watermark: str = "10 minutes",
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming exact dedup: emit only first-seen documents by content
+    fingerprint, with late-data bounds.
+
+    State discipline at web-crawl scale: an unbounded
+    ``dropDuplicates`` would grow state forever; the watermark on the
+    crawl timestamp bounds it — a fingerprint re-arriving later than
+    the watermark is admitted as a new document (exactly the recrawl
+    semantics a training-data pipeline wants: near-in-time duplicates
+    are the crawler echo, far-in-time ones are a fresh snapshot worth
+    keeping for dedup DOWNSTREAM in batch).
+
+    Uses dropDuplicatesWithinWatermark (Spark 3.5+): dedup keyed on the
+    fingerprint only, state expired by event time.
+    """
+    from pyspark.sql import functions as F
+
+    from splink_spark.functions.text import doc_fingerprint
+
+    fp = pages_stream.withColumn(
+        "fingerprint", doc_fingerprint(text_col)
+    ).withWatermark(event_time_col, watermark)
+    deduped = fp.dropDuplicatesWithinWatermark(["fingerprint"])
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

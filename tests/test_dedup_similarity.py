@@ -117,3 +117,52 @@ def test_lsh_buckets_partition_all_rows(emb):
     assert b.filter(F.col("lsh_bucket").isNull()).count() == 0
     n_buckets = b.select("lsh_bucket").distinct().count()
     assert 1 < n_buckets <= 16
+
+
+def test_ivf_topk_recall_vs_brute_force(emb):
+    """IVF with nprobe=16 of 32 centroids must recover >=80% of the
+    true top-1 neighbours (deterministic centroids -> stable recall)."""
+    from splink_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 30)
+    truth = {
+        r["query_id"]: r["vec_id"]
+        for r in brute_force_topk(emb, queries, k=1).collect()
+    }
+    approx = {
+        r["query_id"]: r["vec_id"]
+        for r in ivf_topk(
+            emb, queries, k=1, n_centroids=32, nprobe=16, iters=2
+        ).collect()
+    }
+    hits = sum(1 for q, v in truth.items() if approx.get(q) == v)
+    assert hits / len(truth) >= 0.8, (hits, len(truth))
+
+
+def test_ivf_exhaustive_probe_matches_brute_force(emb):
+    """nprobe = n_centroids degenerates to exact search: top-1 must
+    EQUAL brute force for every query."""
+    from splink_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        r["query_id"]: r["vec_id"]
+        for r in brute_force_topk(emb, queries, k=1).collect()
+    }
+    full = {
+        r["query_id"]: r["vec_id"]
+        for r in ivf_topk(
+            emb, queries, k=1, n_centroids=16, nprobe=16, iters=1
+        ).collect()
+    }
+    assert full == truth
+
+
+def test_ivf_centroids_deterministic(emb):
+    from splink_spark.operators.similarity import train_ivf_centroids
+
+    c1 = train_ivf_centroids(emb, n_centroids=8, iters=1)
+    c2 = train_ivf_centroids(emb, n_centroids=8, iters=1)
+    import numpy as np
+
+    assert np.array_equal(c1, c2)

@@ -80,3 +80,40 @@ def test_stream_scores_new_records(spark, docs, tmp_path_factory):
         for r in edges.select("unique_id_l", "unique_id_r").collect()
     }
     assert any(l + 500000 == r for l, r in linked)
+
+
+def test_stream_exact_dedup_emits_first_seen_only(spark, tmp_path_factory):
+    from splink_spark.streaming.incremental import stream_exact_dedup
+
+    base = tmp_path_factory.mktemp("sdedup")
+    src = os.path.join(str(base), "in")
+    out = os.path.join(str(base), "out")
+    ckpt = os.path.join(str(base), "ckpt")
+
+    rows = [
+        (1, "alpha beta gamma", "2026-01-01 00:00:00"),
+        (2, "alpha beta gamma", "2026-01-01 00:00:30"),  # dup within wm
+        (3, "delta epsilon", "2026-01-01 00:01:00"),
+        (4, "Alpha, beta GAMMA!", "2026-01-01 00:02:00"),  # dup (normalized)
+    ]
+    (
+        spark.createDataFrame(rows, "unique_id long, text string, ts string")
+        .withColumn("warc_ts", F.to_timestamp("ts"))
+        .drop("ts")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = stream_exact_dedup(stream, out, ckpt, watermark="5 minutes")
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out).collect()
+    fps = [r["fingerprint"] for r in got]
+    assert len(fps) == 2  # one survivor per distinct normalized content
+    assert len(set(fps)) == 2
+    ids = {r["unique_id"] for r in got}
+    # one survivor from the {1,2,4} content group, plus doc 3
+    assert 3 in ids
+    assert len(ids & {1, 2, 4}) == 1
