@@ -19,6 +19,7 @@ JVM-side, no Python in the hot path.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -171,7 +172,6 @@ def _assign_udf(centroids: np.ndarray, nprobe: int):
     """pandas UDF: top-``nprobe`` nearest centroid ids per vector by
     cosine. One numpy matmul per Arrow batch (batch x centroids) —
     exactly the FAISS IVF assignment kernel, zero per-row Python."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     cn = centroids / np.maximum(
