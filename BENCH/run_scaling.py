@@ -76,9 +76,16 @@ target_pairs = int(os.environ.get("SAMPLE_PAIRS", "10000000"))
 frac = min(1.0, math.sqrt(2.0 * target_pairs) / n)
 buckets = 1_000_000
 keep = int(frac * buckets)
+# EAGER checkpoint of the tiny sampled side (~4.5k rows): the cross
+# join must read a few MB of materialized rows, NOT drag the full
+# 200k-page prepare_pages lineage into every cartesian task (measured
+# 35x slower at 199k pages without this — scan amplification of the
+# big persisted relation inside the nested-loop join)
 samp = prepared.filter(
     F.pmod(F.xxhash64(F.col("unique_id"), F.lit(7)), F.lit(buckets)) < keep
-).select("unique_id", "text_tokens", "bk_title", "bk_domain")
+).select(
+    "unique_id", "text_tokens", "bk_title", "bk_domain"
+).localCheckpoint()
 rand_pairs = (
     samp.alias("l").join(samp.alias("r"), F.expr("l.unique_id < r.unique_id"))
     .select(
@@ -134,12 +141,17 @@ print("RESULT " + json.dumps({
 
 
 def run(cores: int, entities: int) -> dict:
+    # 12g, NOT an oversized heap: measured on this box, a 48g driver
+    # heap made every JVM-side stage 20-27x slower (GC/page-fault
+    # pathology over a huge young gen on a shared VM) — block+score
+    # 3.5s@8g vs 94s@48g, sampled scoring 29s@8g vs 554s@48g on the
+    # identical 199k-page job. The cached working set is ~1-2 GB.
     env = dict(
         os.environ,
         REPO=REPO,
         CORES=str(cores),
         ENTITIES=str(entities),
-        SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"),
+        SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "12g"),
     )
     t0 = time.time()
     out = subprocess.run(

@@ -109,10 +109,14 @@ def main() -> None:
     frac = min(1.0, math.sqrt(2.0 * target_pairs) / max(n_pages, 1))
     buckets = 1_000_000
     keep = int(frac * buckets)
+    # eager checkpoint: the cross join must read the tiny materialized
+    # sample, not re-walk the full prepare_pages lineage per task
     samp = prepared.filter(
         F.pmod(F.xxhash64(F.col("unique_id"), F.lit(7)), F.lit(buckets))
         < keep
-    ).select("unique_id", "text_tokens", "bk_title", "bk_domain")
+    ).select(
+        "unique_id", "text_tokens", "bk_title", "bk_domain"
+    ).localCheckpoint()
     rand_pairs = (
         samp.alias("l")
         .join(samp.alias("r"), F.expr("l.unique_id < r.unique_id"))
