@@ -256,10 +256,11 @@ from {CORES_A} to {CORES_B} processes the host delivers only
 nominal 32 "CPUs" are SMT threads on a contended box. Engine scaling
 must be read against that ceiling.
 
-Job: key derivation (vectorized MinHash UDF) → blocking (5 salted
-equi self-joins) → pairwise scoring of blocked pairs AND a
-deterministic ~10M random-pair sample (u-estimation load) →
-large-star/small-star clustering. F1 gate on planted labels.
+Job: key derivation (vectorized MinHash UDF) → blocking (5 rules,
+one equi self-join each, NOT-prev-rule pair dedup) → pairwise scoring
+of blocked pairs AND a deterministic ~10M random-pair sample
+(u-estimation load) → large-star/small-star clustering. F1 gate on
+planted labels.
 
 | metric | local[{CORES_A}] best | local[{CORES_B}] best | local[{CORES_A}] median | local[{CORES_B}] median |
 |---|---|---|---|---|
