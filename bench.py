@@ -105,7 +105,7 @@ def main() -> None:
     t0 = time.time()
     import math
 
-    target_pairs = int(os.environ.get("SAMPLE_PAIRS", "2000000"))
+    target_pairs = int(os.environ.get("SAMPLE_PAIRS", "10000000"))
     frac = min(1.0, math.sqrt(2.0 * target_pairs) / max(n_pages, 1))
     buckets = 1_000_000
     keep = int(frac * buckets)
