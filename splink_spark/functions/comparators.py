@@ -366,3 +366,80 @@ def jaro_winkler_at_thresholds(
     return Comparison(
         output_column_name=col, input_columns=[col], levels=levels
     )
+
+
+def damerau_levenshtein_at_thresholds(
+    col: str, thresholds: list[int] | int = 2, include_exact: bool = True
+) -> Comparison:
+    """reference: comparison_library.py::damerau_levenshtein_at_thresholds
+    (OSA variant; requires register_udfs — the Linker does this)."""
+    if isinstance(thresholds, int):
+        thresholds = [thresholds]
+    levels: list[ComparisonLevel] = [null_level(col)]
+    if include_exact:
+        levels.append(exact_match_level(col))
+    levels += [
+        damerau_levenshtein_level(col, t) for t in sorted(thresholds)
+    ]
+    levels.append(else_level())
+    return Comparison(
+        output_column_name=col, input_columns=[col], levels=levels
+    )
+
+
+def jaccard_at_thresholds(
+    col: str,
+    thresholds: list[float] | float = 0.9,
+    include_exact: bool = True,
+) -> Comparison:
+    """reference: comparison_library.py::jaccard_at_thresholds (token-set
+    jaccard, native array ops — the reference needed its Scala jar)."""
+    if isinstance(thresholds, float):
+        thresholds = [thresholds]
+    levels: list[ComparisonLevel] = [null_level(col)]
+    if include_exact:
+        levels.append(exact_match_level(col))
+    levels += [
+        jaccard_tokens_level(col, t)
+        for t in sorted(thresholds, reverse=True)
+    ]
+    levels.append(else_level())
+    return Comparison(
+        output_column_name=col, input_columns=[col], levels=levels
+    )
+
+
+def array_intersect_at_sizes(
+    col: str, sizes: list[int] | int = 1
+) -> Comparison:
+    """reference: comparison_library.py::array_intersect_at_sizes."""
+    if isinstance(sizes, int):
+        sizes = [sizes]
+    levels: list[ComparisonLevel] = [null_level(col)]
+    levels += [
+        array_intersect_level(col, min_intersection=s)
+        for s in sorted(sizes, reverse=True)
+    ]
+    levels.append(else_level())
+    return Comparison(
+        output_column_name=col, input_columns=[col], levels=levels
+    )
+
+
+def datediff_at_thresholds(
+    col: str,
+    thresholds: list[int] | None = None,
+    include_exact: bool = True,
+) -> Comparison:
+    """reference: comparison_library.py::datediff_at_thresholds.
+    ``thresholds``: |datediff| day bounds, tightest first,
+    e.g. [30, 365]."""
+    thresholds = thresholds or [30, 365]
+    levels: list[ComparisonLevel] = [null_level(col)]
+    if include_exact:
+        levels.append(exact_match_level(col))
+    levels += [datediff_level(col, days) for days in sorted(thresholds)]
+    levels.append(else_level())
+    return Comparison(
+        output_column_name=col, input_columns=[col], levels=levels
+    )

@@ -341,6 +341,91 @@ class Linker:
         vectors = compute_comparison_vectors(pair, self.settings)
         return predict_from_comparison_vectors(vectors, self.settings)
 
+    # -- analysis / profiling entry points ----------------------------------
+    # (reference: splink/linker.py exposes these as Linker methods; users
+    # call the linker, not the operator modules)
+
+    def profile_columns(self, columns: list[str], top_k: int = 20):
+        """Per-column top-k value profiles.
+        reference: splink/linker.py::Linker.profile_columns."""
+        from splink_spark.operators.profile import profile_column_values
+
+        df = self.concat_with_tf()
+        return {c: profile_column_values(df, c, top_k) for c in columns}
+
+    def missingness_report(self, columns: list[str] | None = None):
+        """Null share per column (one scan).
+        reference: splink/missingness.py::missingness_data."""
+        from splink_spark.operators.profile import missingness
+
+        return missingness(self.concat_with_tf(), columns)
+
+    def count_num_comparisons_from_blocking_rule(self, rule) -> int:
+        """reference: splink/linker.py::
+        Linker.count_num_comparisons_from_blocking_rule."""
+        from splink_spark.model import BlockingRule
+        from splink_spark.operators.blocking import (
+            count_comparisons_from_blocking_rule,
+        )
+
+        if isinstance(rule, str):
+            rule = BlockingRule(rule)
+        return count_comparisons_from_blocking_rule(
+            self.concat_with_tf(),
+            rule,
+            uid=self.settings.uid,
+            link_mode=self.link_mode,
+            source_col=self.settings.source_dataset_column_name,
+        )
+
+    def cumulative_num_comparisons_from_blocking_rules(
+        self, rules=None
+    ) -> DataFrame:
+        """Marginal + cumulative pair counts per blocking rule.
+        reference: splink/analyse_blocking.py::
+        cumulative_comparisons_from_blocking_rules_records."""
+        from splink_spark.operators.blocking import (
+            cumulative_comparisons_from_blocking_rules,
+        )
+
+        return cumulative_comparisons_from_blocking_rules(
+            self.concat_with_tf(),
+            rules or self.settings.blocking_rules,
+            uid=self.settings.uid,
+            link_mode=self.link_mode,
+            source_col=self.settings.source_dataset_column_name,
+            link_only=self.settings.link_type == "link_only",
+        )
+
+    def truth_space_table(
+        self, labels: DataFrame, predictions: DataFrame | None = None
+    ) -> DataFrame:
+        """Precision/recall/F1 across match-weight thresholds.
+        reference: splink/accuracy.py::truth_space_table_from_labels."""
+        from splink_spark.operators.accuracy import truth_space_table
+
+        preds = predictions if predictions is not None else self.predict()
+        uid = self.settings.uid
+        return truth_space_table(
+            preds, labels, left=f"{uid}_l", right=f"{uid}_r"
+        )
+
+    def match_weight_breakdown(
+        self, predictions: DataFrame | None = None
+    ) -> DataFrame:
+        """Waterfall-chart record set (per-pair per-comparison log2-BF
+        contributions). reference: splink/charts.py::waterfall_chart."""
+        from splink_spark.operators.predict import match_weight_breakdown
+
+        preds = (
+            predictions
+            if predictions is not None
+            else self.comparison_vectors()
+        )
+        return match_weight_breakdown(
+            preds, self.settings, uid=self.settings.uid
+        )
+
     # -- model io ----------------------------------------------------------
 
     def save_model_to_json(self, path: str) -> None:

@@ -89,3 +89,81 @@ def test_prior_validation():
         Settings(
             comparisons=[_comp()], probability_two_random_records_match=0.0
         ).prior_match_weight
+
+
+def test_linker_analysis_wrappers(spark, docs):
+    """Linker-level analysis entry points (profile, missingness, census,
+    cumulative, waterfall) — reference: splink/linker.py methods."""
+    from splink_spark.functions.comparators import (
+        else_level,
+        exact_match_level,
+        null_level,
+    )
+    from splink_spark.model import BlockingRule, Comparison, Settings
+    from splink_spark.plans.linker import Linker
+
+    settings = Settings(
+        unique_id_column_name="unique_id",
+        probability_two_random_records_match=0.01,
+        blocking_rules=[
+            BlockingRule("l.source = r.source"),
+            BlockingRule("l.lang = r.lang"),
+        ],
+        comparisons=[
+            Comparison(
+                "lang",
+                input_columns=["lang"],
+                levels=[
+                    null_level("lang"),
+                    exact_match_level("lang", m=0.9, u=0.2),
+                    else_level(m=0.1, u=0.8),
+                ],
+            )
+        ],
+    )
+    lk = Linker(docs, settings)
+
+    prof = lk.profile_columns(["lang"], top_k=3)
+    assert prof["lang"].count() == 3
+
+    miss = {r["column_name"]: r["null_share"]
+            for r in lk.missingness_report(["lang", "text"]).collect()}
+    assert set(miss) == {"lang", "text"}
+
+    n = lk.count_num_comparisons_from_blocking_rule("l.source = r.source")
+    assert n > 0
+
+    cum = lk.cumulative_num_comparisons_from_blocking_rules().collect()
+    assert len(cum) == 2
+    assert cum[-1]["cumulative_rows"] >= cum[0]["row_count"]
+
+    wf = lk.match_weight_breakdown()
+    # rows = pairs * (1 prior + 1 comparison)
+    assert wf.count() == lk.comparison_vectors().count() * 2
+    assert {"comparison", "gamma_value", "log2_bayes_factor"} <= set(wf.columns)
+
+
+def test_comparison_library_builders_run(spark, docs):
+    from splink_spark.functions.comparators import (
+        array_intersect_at_sizes,
+        datediff_at_thresholds,
+        jaccard_at_thresholds,
+    )
+    from splink_spark.model import BlockingRule, Settings
+    from splink_spark.plans.linker import Linker
+
+    settings = Settings(
+        unique_id_column_name="unique_id",
+        probability_two_random_records_match=0.01,
+        blocking_rules=[BlockingRule("l.source = r.source")],
+        comparisons=[jaccard_at_thresholds("text", [0.9, 0.5])],
+    )
+    # m/u unset -> default-filled by predict path? assign quickly:
+    for comp in settings.comparisons:
+        k = len(comp.scored_levels)
+        for i, lv in enumerate(comp.scored_levels):
+            lv.m_probability = max(0.9 - 0.4 * i, 0.05)
+            lv.u_probability = min(0.05 + 0.3 * i, 0.95)
+    preds = Linker(docs, settings).predict()
+    assert preds.count() > 0
+    assert "gamma_text" in preds.columns
