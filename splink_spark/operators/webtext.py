@@ -139,9 +139,13 @@ def web_dedupe_settings(
 
     derived = {
         "__i_text": "size(array_intersect(text_tokens_l, text_tokens_r))",
+        # try_divide: two EMPTY token arrays make the union size 0
+        # (ANSI mode throws DIVIDE_BY_ZERO on plain /); NULL jaccard
+        # falls through the threshold levels to the else level, which
+        # is the right call for empty-vs-empty documents
         "jac_text": (
-            "__i_text / (size(text_tokens_l) + size(text_tokens_r) "
-            "- __i_text)"
+            "try_divide(__i_text, size(text_tokens_l) "
+            "+ size(text_tokens_r) - __i_text)"
         ),
     }
 

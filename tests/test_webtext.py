@@ -86,3 +86,33 @@ def test_fingerprint_matches_duckdb(spark):
         ).fetchall()
     }
     assert got == exp
+
+
+def test_empty_token_arrays_score_without_ansi_error(spark):
+    """Two empty-token documents (blank/whitespace text) must fall to
+    the else level, not throw DIVIDE_BY_ZERO under ANSI mode."""
+    from splink_spark.operators.vectors import compute_comparison_vectors
+    from splink_spark.operators.webtext import web_dedupe_settings
+
+    df = spark.createDataFrame(
+        [
+            (1, 2, [], [], "t", "t", "d", "d"),
+            (3, 4, ["a"], [], "t", "t", "d", "d"),
+            (5, 6, ["a", "b"], ["a", "b"], "t", "t", "d", "d"),
+        ],
+        "unique_id_l long, unique_id_r long, "
+        "text_tokens_l array<string>, text_tokens_r array<string>, "
+        "bk_title_l string, bk_title_r string, "
+        "bk_domain_l string, bk_domain_r string",
+    )
+    rows = {
+        r["unique_id_l"]: r
+        for r in compute_comparison_vectors(
+            df, web_dedupe_settings()
+        ).collect()
+    }
+    assert rows[1]["jac_text"] is None  # empty vs empty: undefined
+    assert rows[1]["gamma_text"] == 0  # else level
+    assert rows[3]["jac_text"] == 0.0
+    assert rows[5]["jac_text"] == 1.0
+    assert rows[5]["gamma_text"] == 2  # top jaccard level
