@@ -100,9 +100,14 @@ def shingle_jaccard_pairs(
             f"{id_col}_r",
         )
         .withColumn(
+            # try_divide: docs shorter than k tokens have EMPTY shingle
+            # sets; 0/0 must yield NULL (matches DuckDB's division
+            # semantics), not an ANSI DIVIDE_BY_ZERO
             "jaccard",
-            F.size(F.array_intersect("sh_l", "sh_r"))
-            / F.size(F.array_union("sh_l", "sh_r")),
+            F.try_divide(
+                F.size(F.array_intersect("sh_l", "sh_r")),
+                F.size(F.array_union("sh_l", "sh_r")),
+            ),
         )
         .drop("sh_l", "sh_r")
     )

@@ -166,3 +166,28 @@ def test_ivf_centroids_deterministic(emb):
     import numpy as np
 
     assert np.array_equal(c1, c2)
+
+
+def test_shingle_jaccard_short_docs_no_ansi_error(spark):
+    """Docs shorter than the shingle size fall back to one whole-doc
+    shingle (word_shingles), so disjoint short docs score 0.0 and the
+    division can never hit ANSI DIVIDE_BY_ZERO (try_divide guards the
+    impossible-by-construction 0/0 anyway)."""
+    from splink_spark.operators.dedup import shingle_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "hi"), (2, "yo"), (3, "a much longer document with words"),
+         (4, "a much longer document with words")],
+        "unique_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (3, 4)], "unique_id_l long, unique_id_r long"
+    )
+    rows = {
+        r["unique_id_l"]: r["jaccard"]
+        for r in shingle_jaccard_pairs(
+            df, cands, id_col="unique_id", k=3
+        ).collect()
+    }
+    assert rows[1] == 0.0  # ["hi"] vs ["yo"]: disjoint fallback shingles
+    assert rows[3] == 1.0
