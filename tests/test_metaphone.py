@@ -87,3 +87,34 @@ def test_soundex_variant_is_native():
 
     lv = phonetic_match_level("name", method="soundex")
     assert "soundex" in lv.condition
+
+
+def test_metaphone_output_alphabet_and_length_properties():
+    """Property: codes are <=4 chars drawn from the published output
+    alphabet, for arbitrary printable input."""
+    import random
+    import string
+
+    alphabet = set("APKSTJFXLMNR0H")
+    rng = random.Random(99)
+    for _ in range(2000):
+        n = rng.randint(0, 12)
+        s = "".join(
+            rng.choice(string.ascii_letters + " -'àéîßœ123")
+            for _ in range(n)
+        )
+        p, a = dm(s)
+        assert len(p) <= 4 and len(a) <= 4, (s, p, a)
+        assert set(p) <= alphabet and set(a) <= alphabet, (s, p, a)
+
+
+def test_metaphone_deterministic_and_case_insensitive():
+    import random
+    import string
+
+    rng = random.Random(5)
+    for _ in range(500):
+        s = "".join(
+            rng.choice(string.ascii_lowercase) for _ in range(rng.randint(1, 10))
+        )
+        assert dm(s) == dm(s.upper()) == dm(s.title())
