@@ -639,7 +639,11 @@ def q_o22_truth_space(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return truth_space_table(
-        preds, labels, left=f"{DOC_UID}_l", right=f"{DOC_UID}_r"
+        preds,
+        labels,
+        left=f"{DOC_UID}_l",
+        right=f"{DOC_UID}_r",
+        as_scaled_ints=True,
     )
 
 
@@ -948,7 +952,11 @@ def oracle_sql() -> dict[str, str]:
             FROM per),
         -- precision/recall computed ONCE, f1 from those columns: same
         -- sub-expression structure and evaluation order as the Spark
-        -- side (operators/accuracy.py), then both sides round to 9
+        -- side (operators/accuracy.py). Hash-robust by construction:
+        -- ratios leave the query as CAST(round(x*1e9) AS BIGINT) and
+        -- the -inf sentinel (kept internal so window ordering stays
+        -- purely numeric) maps to NULL in the final projection — no
+        -- floats or infinities on the comparison surface.
         pr AS (
             SELECT mw, tp, fp,
                    (SELECT P FROM totals) - tp AS fn,
@@ -959,13 +967,17 @@ def oracle_sql() -> dict[str, str]:
                         THEN tp / (SELECT P FROM totals)
                         ELSE 1.0 END AS recall
             FROM cum)
-        SELECT mw AS threshold_weight, tp, fp, fn, tn,
-               round(precision, 9) AS precision,
-               round(recall, 9) AS recall,
-               round(CASE WHEN precision + recall > 0
-                          THEN 2 * precision * recall / (precision + recall)
-                          ELSE 0.0 END, 9) AS f1
-        FROM pr ORDER BY threshold_weight DESC
+        SELECT CASE WHEN mw = '-infinity'::DOUBLE THEN NULL
+                    ELSE CAST(round(mw * 1e9) AS BIGINT)
+               END AS threshold_weight_e9,
+               tp, fp, fn, tn,
+               CAST(round(precision * 1e9) AS BIGINT) AS precision_e9,
+               CAST(round(recall * 1e9) AS BIGINT) AS recall_e9,
+               CAST(round(CASE WHEN precision + recall > 0
+                               THEN 2 * precision * recall
+                                    / (precision + recall)
+                               ELSE 0.0 END * 1e9) AS BIGINT) AS f1_e9
+        FROM pr ORDER BY threshold_weight_e9 DESC NULLS LAST
     """
 
     # -- o7_tf_adjusted: TF-adjusted prediction -------------------------

@@ -37,10 +37,19 @@ def truth_space_table(
     labels: DataFrame,
     left: str = "unique_id_l",
     right: str = "unique_id_r",
+    as_scaled_ints: bool = False,
 ) -> DataFrame:
     """One row per distinct match_weight threshold with confusion counts.
 
     At threshold w: predicted positive = match_weight >= w.
+
+    With ``as_scaled_ints=True`` the ratio columns are emitted as
+    ``CAST(round(x * 1e9) AS BIGINT)`` (suffix ``_e9``) and the ``-inf``
+    threshold sentinel (pairs the model never scored) becomes NULL, so
+    the comparison surface carries no floats or infinities — hash-robust
+    across engines by construction. The sentinel stays ``-inf``
+    *internally* so window ordering and grouping remain purely numeric
+    (NULL ordering conventions differ between engines).
     """
     joined = join_labels_to_predictions(predictions, labels, left, right)
     totals = joined.agg(
@@ -85,7 +94,26 @@ def truth_space_table(
                 / (F.col("precision") + F.col("recall")),
             ).otherwise(F.lit(0.0)),
         )
-        .select(
+    )
+    if as_scaled_ints:
+        neg_inf = F.lit(float("-inf"))
+        out = out.select(
+            F.when(F.col("match_weight") == neg_inf, F.lit(None))
+            .otherwise(F.round(F.col("match_weight") * 1e9))
+            .cast("long")
+            .alias("threshold_weight_e9"),
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            F.round(F.col("precision") * 1e9).cast("long").alias(
+                "precision_e9"
+            ),
+            F.round(F.col("recall") * 1e9).cast("long").alias("recall_e9"),
+            F.round(F.col("f1") * 1e9).cast("long").alias("f1_e9"),
+        ).orderBy(F.desc_nulls_last("threshold_weight_e9"))
+    else:
+        out = out.select(
             F.col("match_weight").alias("threshold_weight"),
             "tp",
             "fp",
@@ -97,9 +125,7 @@ def truth_space_table(
             F.round("precision", 9).alias("precision"),
             F.round("recall", 9).alias("recall"),
             F.round("f1", 9).alias("f1"),
-        )
-        .orderBy(F.desc("threshold_weight"))
-    )
+        ).orderBy(F.desc("threshold_weight"))
     return out
 
 
