@@ -338,7 +338,7 @@ def levenshtein_at_thresholds(
     col: str, thresholds: list[int] | int = 2, include_exact: bool = True
 ) -> Comparison:
     """reference: comparison_library.py::levenshtein_at_thresholds."""
-    if isinstance(thresholds, int):
+    if isinstance(thresholds, (int, float)):
         thresholds = [thresholds]
     levels: list[ComparisonLevel] = [null_level(col)]
     if include_exact:
@@ -354,7 +354,7 @@ def jaro_winkler_at_thresholds(
     col: str, thresholds: list[float] | float = 0.9, include_exact: bool = True
 ) -> Comparison:
     """reference: comparison_library.py::jaro_winkler_at_thresholds."""
-    if isinstance(thresholds, float):
+    if isinstance(thresholds, (int, float)):
         thresholds = [thresholds]
     levels: list[ComparisonLevel] = [null_level(col)]
     if include_exact:
@@ -373,7 +373,7 @@ def damerau_levenshtein_at_thresholds(
 ) -> Comparison:
     """reference: comparison_library.py::damerau_levenshtein_at_thresholds
     (OSA variant; requires register_udfs — the Linker does this)."""
-    if isinstance(thresholds, int):
+    if isinstance(thresholds, (int, float)):
         thresholds = [thresholds]
     levels: list[ComparisonLevel] = [null_level(col)]
     if include_exact:
@@ -394,7 +394,7 @@ def jaccard_at_thresholds(
 ) -> Comparison:
     """reference: comparison_library.py::jaccard_at_thresholds (token-set
     jaccard, native array ops — the reference needed its Scala jar)."""
-    if isinstance(thresholds, float):
+    if isinstance(thresholds, (int, float)):
         thresholds = [thresholds]
     levels: list[ComparisonLevel] = [null_level(col)]
     if include_exact:

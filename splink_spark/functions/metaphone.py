@@ -66,10 +66,19 @@ def double_metaphone(value: str | None, max_length: int = 4):
 
     pri: list[str] = []
     sec: list[str] = []
+    # running EMITTED-CHARACTER lengths: branches may add '' to one code
+    # or multi-char fragments ('KS', 'TS'), so len(pri)/len(sec) (entry
+    # counts) would terminate the scan early or late vs the published
+    # algorithm's character-count cutoff
+    pri_len = 0
+    sec_len = 0
 
     def add(p: str, s: str | None = None) -> None:
+        nonlocal pri_len, sec_len
         pri.append(p)
         sec.append(p if s is None else s)
+        pri_len += len(p)
+        sec_len += len(p if s is None else s)
 
     i = 0
     # silent first letters
@@ -81,7 +90,7 @@ def double_metaphone(value: str | None, max_length: int = 4):
         i = 1
 
     while i < length and (
-        len(pri) < max_length or len(sec) < max_length
+        pri_len < max_length or sec_len < max_length
     ):
         c = word[i]
 

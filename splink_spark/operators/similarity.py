@@ -248,6 +248,8 @@ def ivf_topk(
     query_id_col: str | None = None,
     seed: int = 42,
     centroids: np.ndarray | None = None,
+    broadcast_queries: bool | None = None,
+    broadcast_max_queries: int = 100_000,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows are inverted-listed by their
     nearest coarse centroid; each query scans only its ``nprobe``
@@ -259,6 +261,15 @@ def ivf_topk(
     Output matches brute_force_topk: (query_id, vec_id, cosine, rank).
     Recall rises with nprobe (nprobe = n_centroids degenerates to
     exact search over everything).
+
+    ``broadcast_queries``: force (True) or suppress (False) the
+    broadcast hint on the exploded query side of the centroid join.
+    Default (None) broadcasts only when the query count is known small
+    (<= ``broadcast_max_queries`` rows before the nprobe explode,
+    counted cheaply); a large query set then takes a shuffle
+    hash-join on centroid_id instead of flooding the driver —
+    AQE may still convert it back at runtime if the side turns
+    out small.
     """
     if centroids is None:
         centroids = train_ivf_centroids(
@@ -280,9 +291,12 @@ def ivf_topk(
             _assign_udf(centroids, nprobe=nprobe)(F.col(vec_col))
         ).alias("centroid_id"),
     )
-    j = corpus_assigned.join(
-        F.broadcast(probes), "centroid_id"
-    ).filter(F.col(id_col) != F.col("query_id"))
+    if broadcast_queries is None:
+        broadcast_queries = queries.count() <= broadcast_max_queries
+    probe_side = F.broadcast(probes) if broadcast_queries else probes
+    j = corpus_assigned.join(probe_side, "centroid_id").filter(
+        F.col(id_col) != F.col("query_id")
+    )
     scored = j.select(
         "query_id",
         id_col,

@@ -50,9 +50,36 @@ def compute_comparison_vectors(
     return out
 
 
-def comparison_vector_sql_projection(settings: Settings) -> list[str]:
+def derived_pair_sql_projection(settings: Settings) -> list[str]:
+    """ANSI SQL fragments for the shared derived pair columns —
+    project these in a subquery/CTE *before* the gamma projection so
+    ``comparison_vector_sql_projection`` fragments can reference them
+    (mirrors the two-step Spark projection above)."""
+    return [
+        f"{expr} AS {name}"
+        for name, expr in settings.derived_pair_expressions.items()
+    ]
+
+
+def comparison_vector_sql_projection(
+    settings: Settings, derived_projected: bool = False
+) -> list[str]:
     """ANSI SQL projection fragments (for the DuckDB oracle):
-    one ``CASE ... END AS gamma_<name>`` per comparison."""
+    one ``CASE ... END AS gamma_<name>`` per comparison.
+
+    Settings with ``derived_pair_expressions`` produce gammas that
+    reference columns which do not exist on the raw pair table; the
+    caller must project ``derived_pair_sql_projection`` in an enclosing
+    subquery first and pass ``derived_projected=True``, otherwise this
+    raises instead of silently emitting SQL that is no longer
+    equivalent to the Spark path."""
+    if settings.derived_pair_expressions and not derived_projected:
+        raise ValueError(
+            "settings declare derived_pair_expressions "
+            f"{sorted(settings.derived_pair_expressions)}; project "
+            "derived_pair_sql_projection(settings) in a subquery first "
+            "and call with derived_projected=True"
+        )
     return [
         f"{comp.gamma_sql()} AS {comp.gamma_column}"
         for comp in settings.comparisons

@@ -84,7 +84,15 @@ class TableRegistry:
 
     def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
         if self.fmt == "iceberg":
-            df.writeTo(f"{self.base}.{name}").createOrReplace()
+            if mode == "overwrite":
+                df.writeTo(f"{self.base}.{name}").createOrReplace()
+            elif mode == "append":
+                df.writeTo(f"{self.base}.{name}").append()
+            else:
+                raise ValueError(
+                    f"unsupported write mode {mode!r} for iceberg tables "
+                    "(use 'overwrite' or 'append')"
+                )
             return
         df.write.mode(mode).parquet(
             os.path.join(self.base, f"{name}.parquet")
