@@ -647,6 +647,146 @@ def q_o22_truth_space(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- persons-fixture queries: comparison templates, pairwise-label m -------
+# The persons fixture is deterministic (fixtures/persons.py, fixed seed);
+# the oracle inlines the IDENTICAL rows as a VALUES table, so both
+# engines see byte-equal inputs regardless of sf_dir.
+
+PERSONS_N = 150
+PERSONS_SEED = 13
+PERSONS_COLS = [
+    "unique_id", "first_name", "surname", "dob", "city", "email",
+    "postcode", "cluster",
+]
+
+
+def _persons_values_sql() -> str:
+    from splink_spark.fixtures.persons import generate_persons
+
+    pdf = generate_persons(n_entities=PERSONS_N, seed=PERSONS_SEED)
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(int(v))
+
+    rows = ", ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")"
+        for row in pdf.itertuples(index=False)
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) AS "
+        f"t({', '.join(PERSONS_COLS)})"
+    )
+
+
+def persons_template_settings() -> Settings:
+    from splink_spark.functions.templates import (
+        date_comparison,
+        email_comparison,
+        forename_surname_comparison,
+        postcode_comparison,
+    )
+
+    return Settings(
+        unique_id_column_name="unique_id",
+        probability_two_random_records_match=0.01,
+        blocking_rules=[BlockingRule(rule="l.city = r.city")],
+        comparisons=[
+            forename_surname_comparison(),
+            date_comparison("dob", cast_strings_to_date=True),
+            postcode_comparison(),
+            email_comparison(),
+        ],
+    )
+
+
+_PERSON_PAIR_COLS = ["first_name", "surname", "dob", "postcode", "email"]
+
+
+def _persons(spark: SparkSession) -> DataFrame:
+    from splink_spark.fixtures.persons import persons_dataframe
+
+    return persons_dataframe(
+        spark, n_entities=PERSONS_N, seed=PERSONS_SEED
+    )
+
+
+def q_o6_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison template library end-to-end: forename+surname, date,
+    postcode, email cascades over city-blocked person pairs."""
+    from splink_spark.functions.udfs import register_udfs
+
+    register_udfs(spark)
+    settings = persons_template_settings()
+    pairs = block_using_rules(
+        _persons(spark),
+        settings.blocking_rules,
+        uid="unique_id",
+        retain_columns=_PERSON_PAIR_COLS,
+    )
+    v = compute_comparison_vectors(pairs, settings)
+    return v.select(
+        "unique_id_l",
+        "unique_id_r",
+        *[c.gamma_column for c in settings.comparisons],
+    )
+
+
+def persons_m_settings() -> Settings:
+    from splink_spark.functions.comparators import (
+        exact_match,
+        levenshtein_at_thresholds,
+    )
+
+    return Settings(
+        unique_id_column_name="unique_id",
+        comparisons=[
+            levenshtein_at_thresholds("surname", 2),
+            exact_match("city"),
+        ],
+        blocking_rules=[BlockingRule(rule="l.city = r.city")],
+    )
+
+
+def q_o13_m_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m estimated from a labelled pair table (within-cluster pairs of
+    the persons fixture), emitted as scaled-integer probabilities.
+    reference: splink/m_from_labels.py::estimate_m_from_pairwise_labels."""
+    import math
+
+    from splink_spark.functions.udfs import register_udfs
+    from splink_spark.operators.training import (
+        estimate_m_from_pairwise_labels,
+    )
+
+    register_udfs(spark)
+    persons = _persons(spark)
+    settings = persons_m_settings()
+    labels = (
+        persons.alias("l")
+        .join(
+            persons.alias("r"),
+            F.expr("l.cluster = r.cluster AND l.unique_id < r.unique_id"),
+        )
+        .select(
+            F.col("l.unique_id").alias("unique_id_l"),
+            F.col("r.unique_id").alias("unique_id_r"),
+        )
+    )
+    m = estimate_m_from_pairwise_labels(persons, settings, labels)
+    rows = [
+        (comp.output_column_name, k, int(math.floor(1e9 * val + 0.5)))
+        for comp, arr in zip(settings.comparisons, m)
+        for k, val in enumerate(arr)
+    ]
+    return spark.createDataFrame(
+        rows, "comparison string, gamma int, m_e9 long"
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(_planted_dupes(_docs(spark, sf_dir)))
 
@@ -798,6 +938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o10_e_step": q_o10_e_step,
         "o11_m_step": q_o11_m_step,
         "o13_m_histogram": q_o13_m_histogram,
+        "o13_m_pairwise": q_o13_m_pairwise,
+        "o6_templates": q_o6_templates,
         "o14_lambda": q_o14_lambda,
         "o15_connected_components": q_o15_cluster,
         "o18_self_link": q_o18_self_link,
@@ -1050,6 +1192,64 @@ def oracle_sql() -> dict[str, str]:
         f"FROM ({incr_pairs}) p) v"
     )
 
+    # -- persons-fixture oracles: templates + pairwise-label m ----------
+    # Same Settings objects as the Spark queries; the fixture rows are
+    # inlined as a VALUES table (deterministic, seed-pinned).
+    persons_cte = _persons_values_sql()
+    tmpl_settings = persons_template_settings()
+    tmpl_gammas = comparison_vector_sql_projection(tmpl_settings)
+    person_pair_cols = ", ".join(
+        f"l.{c} AS {c}_l, r.{c} AS {c}_r" for c in _PERSON_PAIR_COLS
+    )
+    templates_sql = f"""
+        WITH persons AS ({persons_cte}),
+        pairs AS (
+            SELECT l.unique_id AS unique_id_l,
+                   r.unique_id AS unique_id_r, {person_pair_cols}
+            FROM persons l JOIN persons r
+              ON (l.city = r.city) AND (l.unique_id < r.unique_id))
+        SELECT unique_id_l, unique_id_r, {', '.join(tmpl_gammas)}
+        FROM pairs
+    """
+
+    mset = persons_m_settings()
+    m_gammas = comparison_vector_sql_projection(mset)
+    m_pair_cols = ", ".join(
+        f"l.{c} AS {c}_l, r.{c} AS {c}_r" for c in ("surname", "city")
+    )
+    m_levels_values = ", ".join(
+        f"('{c.output_column_name}', {k})"
+        for c in mset.comparisons
+        for k in range(c.num_scored_levels)
+    )
+    m_stack = " UNION ALL ".join(
+        f"SELECT '{c.output_column_name}' AS comparison, "
+        f"{c.gamma_column} AS gamma FROM v WHERE {c.gamma_column} != -1"
+        for c in mset.comparisons
+    )
+    # ratio discipline mirrors _level_shares: int64/int64 -> exact IEEE
+    # double division, then floor(1e9*x + 0.5) on both sides
+    m_pairwise_sql = f"""
+        WITH persons AS ({persons_cte}),
+        pairs AS (
+            SELECT {m_pair_cols}
+            FROM persons l JOIN persons r
+              ON l.cluster = r.cluster AND l.unique_id < r.unique_id),
+        v AS (SELECT {', '.join(m_gammas)} FROM pairs),
+        s AS ({m_stack}),
+        cnt AS (SELECT comparison, gamma, count(*) AS c
+                FROM s GROUP BY comparison, gamma),
+        den AS (SELECT comparison, CAST(sum(c) AS BIGINT) AS d
+                FROM cnt GROUP BY comparison),
+        lv(comparison, gamma) AS (VALUES {m_levels_values})
+        SELECT lv.comparison, lv.gamma,
+               CAST(floor(1e9 * (coalesce(cnt.c, 0) / den.d) + 0.5)
+                    AS BIGINT) AS m_e9
+        FROM lv JOIN den ON lv.comparison = den.comparison
+        LEFT JOIN cnt ON lv.comparison = cnt.comparison
+                     AND lv.gamma = cnt.gamma
+    """
+
     return {
         "o1_concat": (
             f"SELECT {DOC_UID}, lang, source, n_chars, "
@@ -1102,6 +1302,8 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT {gamma_cols}, count(*) AS pattern_count "
             f"FROM ({vectors_sql}) v GROUP BY {gamma_cols}) h",
         ),
+        "o13_m_pairwise": m_pairwise_sql,
+        "o6_templates": templates_sql,
         "o13_m_histogram": (
             f"SELECT {gamma_cols}, count(*) AS pattern_count FROM ("
             f"SELECT {', '.join(gammas)} FROM "

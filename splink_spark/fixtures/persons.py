@@ -40,6 +40,29 @@ def _typo(rng: np.random.Generator, s: str) -> str:
     return s[:i] + c + s[i:]  # insert
 
 
+def _postcode(entity: int, city: str, r: int) -> str | None:
+    """Deterministic UK-shaped postcode (AREA DISTRICT space SECTOR UNIT,
+    e.g. ``LO3 7KD``) as a pure function of (entity, city, record index)
+    — intentionally NOT drawn from the rng stream so adding this column
+    left every previously generated value untouched. Record-level
+    corruption: same-sector unit change (postcode_comparison's sector
+    level), same-area district change (area level), or null-out."""
+    area = (city[:2] if city else "zz").upper()
+    district = entity % 9 + 1
+    sector = (entity * 7) % 9 + 1
+    unit = chr(ord("A") + (entity * 3 + 1) % 26) + chr(
+        ord("A") + (entity * 5 + 2) % 26
+    )
+    if r > 0:
+        if (entity + r) % 7 == 0:
+            return None
+        if (entity + r) % 5 == 0:  # unit typo: sector still equal
+            unit = chr(ord("A") + (entity * 3 + r) % 26) + unit[1]
+        elif (entity + r) % 4 == 0:  # district change: area still equal
+            district = district % 9 + 1
+    return f"{area}{district} {sector}{unit}"
+
+
 def generate_persons(
     n_entities: int = 300, seed: int = 42, max_records: int = 4
 ) -> pd.DataFrame:
@@ -74,7 +97,7 @@ def generate_persons(
                     else:
                         em = _typo(rng, em)
             dob = f"{yy:04d}-{mm:02d}-{dd:02d}"
-            rows.append((uid, f, s, dob, c, em, e))
+            rows.append((uid, f, s, dob, c, em, _postcode(e, city, r), e))
             uid += 1
     return pd.DataFrame(
         rows,
@@ -85,6 +108,7 @@ def generate_persons(
             "dob",
             "city",
             "email",
+            "postcode",
             "cluster",
         ],
     )
@@ -98,6 +122,7 @@ def persons_dataframe(
         pdf,
         schema=(
             "unique_id long, first_name string, surname string, "
-            "dob string, city string, email string, cluster long"
+            "dob string, city string, email string, postcode string, "
+            "cluster long"
         ),
     )

@@ -253,6 +253,29 @@ def estimate_u(
     return out
 
 
+def _level_shares(
+    patterns: np.ndarray, counts: np.ndarray, settings: Settings
+) -> list[np.ndarray]:
+    """Per-comparison share of each scored level among non-null rows —
+    the common epilogue of estimate_u / m-from-labels (the reference's
+    compute_proportions_for_new_parameters over a one-class histogram)."""
+    out: list[np.ndarray] = []
+    for ci, comp in enumerate(settings.comparisons):
+        K = comp.num_scored_levels
+        g = patterns[:, ci]
+        valid = g != NULL_GAMMA
+        denom = counts[valid].sum()
+        if denom == 0:
+            out.append(np.full(K, 1.0 / K))
+            continue
+        out.append(
+            np.array(
+                [counts[valid & (g == k)].sum() / denom for k in range(K)]
+            )
+        )
+    return out
+
+
 def _comparison_input_columns(settings: Settings) -> list[str]:
     cols: list[str] = []
     for comp in settings.comparisons:
@@ -303,21 +326,44 @@ def estimate_m_from_label_column(
     )
     vectors = compute_comparison_vectors(pairs, settings)
     patterns, counts = collect_histogram(vectors, settings)
-    out: list[np.ndarray] = []
-    for ci, comp in enumerate(settings.comparisons):
-        K = comp.num_scored_levels
-        g = patterns[:, ci]
-        valid = g != NULL_GAMMA
-        denom = counts[valid].sum()
-        if denom == 0:
-            out.append(np.full(K, 1.0 / K))
-            continue
-        out.append(
-            np.array(
-                [counts[valid & (g == k)].sum() / denom for k in range(K)]
-            )
-        )
-    return out
+    return _level_shares(patterns, counts, settings)
+
+
+def estimate_m_from_pairwise_labels(
+    df: DataFrame, settings: Settings, labels: DataFrame
+) -> list[np.ndarray]:
+    """Direct m estimates from a labelled *pair* table.
+
+    ``labels`` has columns ``<uid>_l`` / ``<uid>_r`` (plus optionally
+    ``clerical_match_score`` in [0, 1]; rows with score < 0.5 are
+    dropped, matching the reference's treatment of uncertain labels).
+    Each labelled match pair is joined back to the records (two hash
+    joins on the uid — Catalyst broadcasts the label side when small),
+    its comparison vector computed, and level shares among non-null
+    gammas taken as m.
+
+    reference: splink/m_from_labels.py::estimate_m_from_pairwise_labels.
+    """
+    uid = settings.uid
+    if "clerical_match_score" in labels.columns:
+        labels = labels.filter(F.col("clerical_match_score") >= 0.5)
+    cols = _comparison_input_columns(settings)
+    left = df.select(
+        F.col(uid).alias(f"{uid}_l"),
+        *[F.col(c).alias(f"{c}_l") for c in cols],
+    )
+    right = df.select(
+        F.col(uid).alias(f"{uid}_r"),
+        *[F.col(c).alias(f"{c}_r") for c in cols],
+    )
+    pairs = (
+        labels.select(f"{uid}_l", f"{uid}_r")
+        .join(left, f"{uid}_l")
+        .join(right, f"{uid}_r")
+    )
+    vectors = compute_comparison_vectors(pairs, settings)
+    patterns, counts = collect_histogram(vectors, settings)
+    return _level_shares(patterns, counts, settings)
 
 
 # ---------------------------------------------------------------------------

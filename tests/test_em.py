@@ -129,3 +129,100 @@ def test_em_empty_histogram_no_crash():
         0.3,
     )
     assert res.converged
+
+
+def test_m_from_pairwise_labels_matches_label_column(spark):
+    """A labelled pair table of ALL within-cluster pairs must produce
+    the same m estimates as blocking on the label column itself.
+    reference: splink/m_from_labels.py::estimate_m_from_pairwise_labels."""
+    from pyspark.sql import functions as F
+
+    from splink_spark.fixtures.persons import persons_dataframe
+    from splink_spark.functions.comparators import (
+        exact_match,
+        levenshtein_at_thresholds,
+    )
+    from splink_spark.model import Settings, BlockingRule
+    from splink_spark.operators.training import (
+        estimate_m_from_label_column,
+        estimate_m_from_pairwise_labels,
+    )
+
+    persons = persons_dataframe(spark, n_entities=60, seed=3)
+    settings = Settings(
+        comparisons=[
+            levenshtein_at_thresholds("surname", 2),
+            exact_match("city"),
+        ],
+        blocking_rules=[BlockingRule(rule="l.city = r.city")],
+    )
+    from splink_spark.functions.udfs import register_udfs
+
+    register_udfs(spark)
+
+    m_col = estimate_m_from_label_column(persons, settings, "cluster")
+
+    labels = (
+        persons.alias("l")
+        .join(
+            persons.alias("r"),
+            F.expr("l.cluster = r.cluster AND l.unique_id < r.unique_id"),
+        )
+        .select(
+            F.col("l.unique_id").alias("unique_id_l"),
+            F.col("r.unique_id").alias("unique_id_r"),
+            F.lit(1.0).alias("clerical_match_score"),
+        )
+    )
+    m_pair = estimate_m_from_pairwise_labels(persons, settings, labels)
+    for a, b in zip(m_col, m_pair):
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def test_m_from_pairwise_labels_drops_low_scores(spark):
+    from pyspark.sql import functions as F
+
+    from splink_spark.fixtures.persons import persons_dataframe
+    from splink_spark.functions.comparators import exact_match
+    from splink_spark.model import Settings, BlockingRule
+    from splink_spark.operators.training import (
+        estimate_m_from_pairwise_labels,
+    )
+
+    persons = persons_dataframe(spark, n_entities=30, seed=5)
+    settings = Settings(
+        comparisons=[exact_match("city")],
+        blocking_rules=[BlockingRule(rule="l.city = r.city")],
+    )
+    # true within-cluster pairs scored 1.0 plus garbage cross-cluster
+    # pairs scored 0.0 — the garbage must not contaminate m
+    good = (
+        persons.alias("l")
+        .join(
+            persons.alias("r"),
+            F.expr("l.cluster = r.cluster AND l.unique_id < r.unique_id"),
+        )
+        .select(
+            F.col("l.unique_id").alias("unique_id_l"),
+            F.col("r.unique_id").alias("unique_id_r"),
+            F.lit(1.0).alias("clerical_match_score"),
+        )
+    )
+    bad = (
+        persons.alias("l")
+        .join(
+            persons.alias("r"),
+            F.expr("l.cluster + 1 = r.cluster"),
+        )
+        .select(
+            F.col("l.unique_id").alias("unique_id_l"),
+            F.col("r.unique_id").alias("unique_id_r"),
+            F.lit(0.0).alias("clerical_match_score"),
+        )
+    )
+    m_clean = estimate_m_from_pairwise_labels(persons, settings, good)
+    m_mixed = estimate_m_from_pairwise_labels(
+        persons, settings, good.unionByName(bad)
+    )
+    for a, b in zip(m_clean, m_mixed):
+        np.testing.assert_allclose(a, b, rtol=1e-12)
