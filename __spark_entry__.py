@@ -922,6 +922,58 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container parsing loop: deterministic BMP/PNG/WAV/GIF bytes
+    are synthesized per document (mapInPandas), then attach_metadata
+    parses dimensions/duration back out of the actual bytes; the oracle
+    recomputes the synthesis formulas in SQL. A wrong struct offset,
+    stride, or chunk walk anywhere breaks the match."""
+    import pandas as pd  # noqa: PLC0415
+
+    from splink_spark.multimodal import (
+        attach_metadata,
+        make_bmp,
+        make_gif,
+        make_png,
+        make_wav,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        F.col(DOC_UID).alias("media_id"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("nc"),
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for mid, nc in zip(pdf["media_id"], pdf["nc"]):
+                mid, nc = int(mid), int(nc)
+                k = mid % 4
+                if k == 0:
+                    p = make_bmp(nc % 31 + 1, mid % 17 + 1, seed=mid)
+                elif k == 1:
+                    p = make_png(nc % 23 + 1, mid % 13 + 1, seed=mid)
+                elif k == 2:
+                    p = make_wav((mid % 5 + 1) * 800)
+                else:
+                    p = make_gif(nc % 50 + 1, mid % 40 + 1)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return attach_metadata(media).select(
+        "media_id",
+        F.col("meta.codec").alias("codec"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.round(F.col("meta.duration_s") * 1000).cast("long").alias(
+            "duration_ms"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o1_concat": q_o1_concat,
@@ -961,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal,
+        "multimodal_meta": q_multimodal_meta,
     }
 
 
@@ -1413,6 +1466,33 @@ def oracle_sql() -> dict[str, str]:
             f"feature_dim, md5(coalesce(text, '')) AS payload_md5 "
             f"FROM documents"
         ),
+        # the synthesis formulas replayed in SQL; the Spark side must
+        # recover these exact values by parsing the generated bytes
+        "multimodal_meta": f"""
+            SELECT {DOC_UID} AS media_id,
+                   CASE {DOC_UID} % 4
+                        WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                        WHEN 2 THEN 'pcm_s16le' ELSE 'gif' END AS codec,
+                   CASE {DOC_UID} % 4
+                        WHEN 0 THEN CAST(coalesce(n_chars, 0) % 31 + 1
+                                         AS INTEGER)
+                        WHEN 1 THEN CAST(coalesce(n_chars, 0) % 23 + 1
+                                         AS INTEGER)
+                        WHEN 2 THEN NULL
+                        ELSE CAST(coalesce(n_chars, 0) % 50 + 1
+                                  AS INTEGER) END AS width,
+                   CASE {DOC_UID} % 4
+                        WHEN 0 THEN CAST({DOC_UID} % 17 + 1 AS INTEGER)
+                        WHEN 1 THEN CAST({DOC_UID} % 13 + 1 AS INTEGER)
+                        WHEN 2 THEN NULL
+                        ELSE CAST({DOC_UID} % 40 + 1 AS INTEGER)
+                   END AS height,
+                   CASE WHEN {DOC_UID} % 4 = 2
+                        THEN CAST(round(1000 * ((({DOC_UID} % 5) + 1)
+                             * 800 * 2 / 16000)) AS BIGINT)
+                        ELSE NULL END AS duration_ms
+            FROM documents
+        """,
         # ::DOUBLE[] casts: Spark computes cosine in double; DuckDB's
         # float32 path diverges in the last ulps otherwise
         "sim_topk_bruteforce": (
