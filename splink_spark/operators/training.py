@@ -27,7 +27,7 @@ backend random() (SURVEY.md §7.3(e)).
 from __future__ import annotations
 
 import itertools
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -77,6 +77,10 @@ class EMResult:
     iterations: int
     converged: bool
     history: list[float]  # max param delta per iteration
+    # per-iteration parameter snapshots (lam, m, u) — the data behind
+    # the reference's parameter-estimate / EM-convergence charts
+    # (reference: splink/charts.py::m_u_parameters_chart)
+    param_history: list[dict] = field(default_factory=list)
     # comparisons fixed under the training rule (their m/u untouched);
     # the Linker uses this to average ONLY trained comparisons across
     # sessions (reference: splink/em_training_session.py)
@@ -91,6 +95,7 @@ def em_fit(
     u_init: list[np.ndarray],
     lam_init: float,
     fixed_u: bool = False,
+    fixed_m: bool = False,
     fixed_comparisons: frozenset[int] = frozenset(),
     tol: float = 1e-4,
     max_iterations: int = 25,
@@ -108,7 +113,9 @@ def em_fit(
     the rule and carries no signal;
     reference: splink/em_training_session.py).
     ``fixed_u`` keeps u at its (random-sampling) estimate and only
-    trains m — splink's ``fix_u_probabilities`` option.
+    trains m — splink's ``fix_u_probabilities`` option. ``fixed_m`` is
+    the mirror ``fix_m_probabilities`` option: m stays at its (label-
+    derived) estimate and only u and lambda train.
     """
     C = len(num_levels)
     m = [x.astype(np.float64).copy() for x in m_init]
@@ -120,7 +127,19 @@ def em_fit(
     eps = 1e-30
 
     if n == 0:
-        return EMResult(m, u, lam, 0, True, history, fixed_comparisons)
+        return EMResult(
+            m, u, lam, 0, True, history, [], fixed_comparisons
+        )
+
+    def snapshot(it: int) -> dict:
+        return {
+            "iteration": it,
+            "lam": lam,
+            "m": [x.tolist() for x in m],
+            "u": [x.tolist() for x in u],
+        }
+
+    param_history: list[dict] = [snapshot(0)]
 
     for it in range(max_iterations):
         # E-step (vectorized over patterns)
@@ -144,14 +163,15 @@ def em_fit(
             valid = g != NULL_GAMMA
             denom_m = wm[valid].sum()
             denom_u = wu[valid].sum()
-            new_m = np.array(
-                [
-                    wm[valid & (g == k)].sum() / max(denom_m, eps)
-                    for k in range(num_levels[c])
-                ]
-            )
-            delta = max(delta, float(np.abs(new_m - m[c]).max()))
-            m[c] = new_m
+            if not fixed_m:
+                new_m = np.array(
+                    [
+                        wm[valid & (g == k)].sum() / max(denom_m, eps)
+                        for k in range(num_levels[c])
+                    ]
+                )
+                delta = max(delta, float(np.abs(new_m - m[c]).max()))
+                m[c] = new_m
             if not fixed_u:
                 new_u = np.array(
                     [
@@ -165,9 +185,16 @@ def em_fit(
         delta = max(delta, abs(new_lam - lam))
         lam = new_lam
         history.append(delta)
+        param_history.append(snapshot(it + 1))
         if delta < tol:
-            return EMResult(m, u, lam, it + 1, True, history, fixed_comparisons)
-    return EMResult(m, u, lam, max_iterations, False, history, fixed_comparisons)
+            return EMResult(
+                m, u, lam, it + 1, True, history, param_history,
+                fixed_comparisons,
+            )
+    return EMResult(
+        m, u, lam, max_iterations, False, history, param_history,
+        fixed_comparisons,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -381,6 +408,7 @@ def estimate_parameters_using_em(
     settings: Settings,
     training_rule: BlockingRule,
     fix_u: bool = False,
+    fix_m: bool = False,
 ) -> EMResult:
     """One EM training session under a training blocking rule.
 
@@ -431,6 +459,7 @@ def estimate_parameters_using_em(
         u_init,
         lam_adj,
         fixed_u=fix_u,
+        fixed_m=fix_m,
         fixed_comparisons=frozenset(fixed),
         tol=settings.em_convergence,
         max_iterations=settings.max_iterations,
@@ -442,7 +471,8 @@ def estimate_parameters_using_em(
             continue
         for lv in comp.scored_levels:
             g = comp.gamma_of(lv)
-            lv.m_probability = float(result.m[ci][g])
+            if not fix_m:
+                lv.m_probability = float(result.m[ci][g])
             if not fix_u:
                 lv.u_probability = float(result.u[ci][g])
     return result

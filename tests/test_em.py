@@ -226,3 +226,81 @@ def test_m_from_pairwise_labels_drops_low_scores(spark):
     )
     for a, b in zip(m_clean, m_mixed):
         np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def test_em_fixed_m_only_trains_u_and_lambda():
+    """fix_m_probabilities: m stays at its init; u and lambda move.
+    reference: splink/settings.py fix_m_probabilities option."""
+    rng = np.random.default_rng(0)
+    patterns = rng.integers(0, 2, size=(40, 2))
+    counts = rng.integers(1, 50, size=40).astype(float)
+    m0 = [np.array([0.2, 0.8]), np.array([0.3, 0.7])]
+    u0 = [np.array([0.9, 0.1]), np.array([0.85, 0.15])]
+    res = em_fit(
+        patterns, counts, [2, 2], m0, u0, 0.3,
+        fixed_m=True, max_iterations=10, tol=1e-12,
+    )
+    for got, init in zip(res.m, m0):
+        np.testing.assert_array_equal(got, init)
+    assert any(
+        not np.array_equal(got, init) for got, init in zip(res.u, u0)
+    )
+    assert res.lam != 0.3
+
+
+def test_em_param_history_snapshots():
+    rng = np.random.default_rng(1)
+    patterns = rng.integers(0, 2, size=(20, 1))
+    counts = np.ones(20)
+    res = em_fit(
+        patterns, counts, [2],
+        [np.array([0.4, 0.6])], [np.array([0.7, 0.3])], 0.5,
+        max_iterations=5, tol=1e-12,
+    )
+    # one snapshot per completed iteration plus the initial state
+    assert len(res.param_history) == res.iterations + 1
+    assert res.param_history[0]["iteration"] == 0
+    assert res.param_history[0]["lam"] == 0.5
+    assert res.param_history[-1]["lam"] == res.lam
+    assert res.param_history[-1]["m"][0] == res.m[0].tolist()
+
+
+def test_session_fix_m_leaves_model_untouched(spark):
+    from splink_spark.fixtures.persons import persons_dataframe
+    from splink_spark.functions.comparators import exact_match
+    from splink_spark.model import Settings, BlockingRule
+    from splink_spark.operators.training import (
+        estimate_parameters_using_em,
+    )
+
+    persons = persons_dataframe(spark, n_entities=50, seed=9)
+    settings = Settings(
+        comparisons=[exact_match("surname"), exact_match("city")],
+        blocking_rules=[BlockingRule(rule="l.dob = r.dob")],
+        probability_two_random_records_match=0.01,
+    )
+    for comp in settings.comparisons:
+        for lv, mv, uv in zip(comp.scored_levels, (0.9, 0.1), (0.05, 0.95)):
+            lv.m_probability = mv
+            lv.u_probability = uv
+    before_m = [
+        [lv.m_probability for lv in c.scored_levels]
+        for c in settings.comparisons
+    ]
+    before_u = [
+        [lv.u_probability for lv in c.scored_levels]
+        for c in settings.comparisons
+    ]
+    estimate_parameters_using_em(
+        persons, settings, BlockingRule(rule="l.dob = r.dob"), fix_m=True
+    )
+    after_m = [
+        [lv.m_probability for lv in c.scored_levels]
+        for c in settings.comparisons
+    ]
+    after_u = [
+        [lv.u_probability for lv in c.scored_levels]
+        for c in settings.comparisons
+    ]
+    assert after_m == before_m
+    assert after_u != before_u
