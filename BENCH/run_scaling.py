@@ -25,7 +25,7 @@ WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, os.environ["REPO"])
 from splink_spark.session import get_spark
-from splink_spark.fixtures.webpages import corpus_dataframes
+from splink_spark.fixtures.webpages import distributed_corpus
 from splink_spark.operators.webtext import prepare_pages, web_dedupe_settings
 from splink_spark.operators.blocking import block_using_rules
 from splink_spark.operators.vectors import compute_comparison_vectors
@@ -39,8 +39,13 @@ n_entities = int(os.environ["ENTITIES"])
 spark = get_spark(app_name=f"scaling_{cores}", cores=cores)
 
 timings = {}
-pages, labels = corpus_dataframes(spark, n_entities=n_entities, seed=42)
-pages = pages.repartition(cores * 2).persist(); pages.count()
+# executor-side generation (per-entity rng: same corpus as the driver
+# path at any partitioning) — the driver never holds a page
+pages, labels = distributed_corpus(
+    spark, n_entities=n_entities, seed=42, partitions=cores * 2
+)
+pages = pages.persist(); pages.count()
+labels = labels.persist(); labels.count()
 settings = web_dedupe_settings()
 
 t0 = time.time()

@@ -39,7 +39,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from splink_spark.fixtures.webpages import corpus_dataframes
+    from splink_spark.fixtures.webpages import distributed_corpus
     from splink_spark.operators.accuracy import pairwise_f1_from_clusters
     from splink_spark.operators.cluster import connected_components
     from splink_spark.operators.predict import predict_from_comparison_vectors
@@ -54,11 +54,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     t_total0 = time.time()
 
-    # -- corpus generation (driver-side, deterministic) -----------------
+    # -- corpus generation (EXECUTOR-side, deterministic: per-entity
+    #    rng, bit-identical to the driver path at any partitioning) ----
     t0 = time.time()
-    pages, labels = corpus_dataframes(spark, n_entities=n_entities, seed=42)
-    pages = pages.repartition(cores * 2).persist()
+    pages, labels = distributed_corpus(
+        spark, n_entities=n_entities, seed=42, partitions=cores * 2
+    )
+    pages = pages.persist()
+    labels = labels.persist()
     n_pages = pages.count()
+    labels.count()
     timings["generate_corpus"] = time.time() - t0
 
     settings = web_dedupe_settings()
@@ -174,6 +179,106 @@ def main() -> None:
         entrymod.queries()[qname](spark, sf_dir).count()
         timings[qname] = time.time() - t0
 
+    # -- scale-check leg: the SAME operators at 10x the corpus ----------
+    # (VERDICT r2 task 2: prove the plan shapes with a measured 10x
+    # datapoint, not just sf0.1 arguments). Three representative
+    # operators — MinHash+LSH near-dup (band-join candidate volume),
+    # connected components (superstep count), IVF ANN (centroid-join)
+    # — run at 1x and 10x; growth_ratio / data_ratio ~ 1 means the
+    # stage scales near-linearly. Skippable via SPARK_GRAFT_SCALE_CHECK=0.
+    scale_check: dict = {}
+    if os.environ.get("SPARK_GRAFT_SCALE_CHECK", "1") != "0":
+        from splink_spark.operators.dedup import minhash_near_duplicates
+        from splink_spark.operators.similarity import ivf_topk
+
+        emb_expr = (
+            "transform(sequence(1, 16), d -> "
+            "cast(pmod(xxhash64(unique_id, d), 2001) as double)/1000.0"
+            " - 1.0)"
+        )
+        legs: dict[str, dict] = {}
+        for leg_name, ents in (
+            ("x1", n_entities),
+            ("x10", n_entities * 10),
+        ):
+            leg: dict = {}
+            t0 = time.time()
+            if leg_name == "x1":
+                pages_l, labels_l = pages, labels
+            else:
+                pages_l, labels_l = distributed_corpus(
+                    spark,
+                    n_entities=ents,
+                    seed=42,
+                    partitions=cores * 2,
+                )
+                pages_l = pages_l.select(
+                    "unique_id", "text"
+                ).persist()
+            n_pg = pages_l.count()
+            leg["n_pages"] = n_pg
+            leg["generate_sec"] = round(time.time() - t0, 3)
+
+            t0 = time.time()
+            leg["minhash_pairs"] = minhash_near_duplicates(
+                pages_l.select("unique_id", "text"),
+                id_col="unique_id",
+                num_bands=4,
+                shingle_k=3,
+                jaccard_threshold=0.5,
+            ).count()
+            leg["minhash_sec"] = round(time.time() - t0, 3)
+
+            t0 = time.time()
+            leg["cc_rows"] = connected_components(
+                labels_l.filter(F.col("is_match")).select(
+                    "unique_id_l", "unique_id_r"
+                )
+            ).count()
+            leg["cc_sec"] = round(time.time() - t0, 3)
+
+            t0 = time.time()
+            emb = pages_l.selectExpr(
+                "unique_id AS vec_id", f"{emb_expr} AS embedding"
+            )
+            leg["ivf_rows"] = ivf_topk(
+                emb,
+                emb.filter(F.col("vec_id") < 200),
+                k=10,
+                n_centroids=64,
+                nprobe=4,
+                iters=1,
+                broadcast_queries=True,
+            ).count()
+            leg["ivf_sec"] = round(time.time() - t0, 3)
+            legs[leg_name] = leg
+            if leg_name == "x10":
+                pages_l.unpersist()
+
+        data_ratio = legs["x10"]["n_pages"] / max(legs["x1"]["n_pages"], 1)
+        growth = {
+            stage: round(
+                (legs["x10"][f"{stage}_sec"] / max(legs["x1"][f"{stage}_sec"], 1e-9))
+                / data_ratio,
+                3,
+            )
+            for stage in ("minhash", "cc", "ivf")
+        }
+        scale_check = {
+            "legs": legs,
+            "data_ratio": round(data_ratio, 2),
+            # wall-growth normalised by data growth; ~<=1 == near-linear
+            "wall_growth_over_data_growth": growth,
+            "candidate_growth_over_data_growth": round(
+                (
+                    legs["x10"]["minhash_pairs"]
+                    / max(legs["x1"]["minhash_pairs"], 1)
+                )
+                / data_ratio,
+                3,
+            ),
+        }
+
     total = time.time() - t_total0
     pipeline_secs = (
         timings["derive_keys"]
@@ -205,6 +310,7 @@ def main() -> None:
                 "pipeline_sec": round(pipeline_secs, 3),
                 "total_sec": round(total, 3),
                 "f1": round(f1["f1"], 5),
+                "scale_check": scale_check,
             }
         )
     )

@@ -18,8 +18,12 @@ Planted structure:
 the byte-identity invariant is that extracting text from html
 reproduces the ``text`` column exactly.
 
-Everything derives from a seeded numpy Generator — same seed, same
-corpus, at any scale.
+Randomness is PER ENTITY: ``default_rng([seed, entity_id])`` — so the
+corpus is identical whether generated on the driver
+(:func:`generate_corpus`) or fanned out over executors
+(:func:`distributed_corpus`), at any partitioning. unique_id is
+``entity_id * max_copies + copy`` (gaps where an entity has fewer
+copies), which keeps ids stable without a global counter.
 """
 
 from __future__ import annotations
@@ -29,6 +33,7 @@ from datetime import datetime, timezone
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _VOCAB = [
@@ -49,6 +54,105 @@ _VOCAB = [
 
 _TLDS = ["com", "org", "net", "io", "dev"]
 
+_PAGE_COLS = [
+    "unique_id",
+    "url",
+    "warc_ts",
+    "html",
+    "text",
+    "lang",
+    "title",
+    "entity_id",
+    "base_domain",
+]
+
+
+def _corpus_env(n_domains: int):
+    vocab = np.array(_VOCAB)
+    ranks = np.arange(1, n_domains + 1)
+    dom_p = (1.0 / ranks) / (1.0 / ranks).sum()
+    domains = np.array(
+        [f"site{i}.{_TLDS[i % len(_TLDS)]}" for i in range(n_domains)]
+    )
+    langs = np.array(["en", "en", "en", "es", "fr", "de"])
+    base_ts = datetime(2025, 1, 1, tzinfo=timezone.utc).timestamp()
+    return vocab, domains, dom_p, langs, base_ts
+
+
+def _entity_rows(
+    e: int,
+    seed: int,
+    max_copies: int,
+    dropout: float,
+    env,
+) -> list[tuple]:
+    """All page rows for one entity, from its OWN rng stream — the unit
+    of determinism both generation paths share."""
+    vocab, domains, dom_p, langs, base_ts = env
+    rng = np.random.default_rng([seed, e])
+    n_tok = int(rng.integers(40, 120))
+    base_tokens = vocab[rng.integers(0, len(vocab), n_tok)]
+    title_tokens = vocab[
+        rng.integers(0, len(vocab), int(rng.integers(3, 7)))
+    ]
+    base_title = " ".join(title_tokens).title()
+    domain = domains[rng.choice(len(domains), p=dom_p)]
+    lang = str(langs[rng.integers(0, len(langs))])
+    path = "/".join(vocab[rng.integers(0, len(vocab), 2)])
+    n_copies = int(rng.integers(1, max_copies + 1))
+    rows = []
+    for c in range(n_copies):
+        toks = base_tokens
+        title = base_title
+        page_domain = domain
+        url = f"https://{domain}/{path}"
+        if c > 0:
+            # token dropout + insertion (near-dup, not exact)
+            keep = rng.random(len(toks)) > dropout
+            toks = toks[keep]
+            n_ins = int(rng.integers(0, 3))
+            if n_ins:
+                ins_pos = rng.integers(0, max(len(toks), 1), n_ins)
+                toks = np.insert(
+                    toks, ins_pos, vocab[rng.integers(0, len(vocab), n_ins)]
+                )
+            # title jitter: case + punctuation
+            jitter = int(rng.integers(0, 3))
+            if jitter == 1:
+                title = base_title.upper()
+            elif jitter == 2:
+                title = base_title.lower().replace(" ", " - ", 1)
+            # url variant: query string or mirror domain
+            variant = int(rng.integers(0, 3))
+            if variant == 0:
+                url = f"https://{domain}/{path}?ref={c}"
+            elif variant == 1:
+                page_domain = "mirror-" + domain
+                url = f"https://{page_domain}/{path}"
+            else:
+                url = f"https://{domain}/{path}#s{c}"
+        text = " ".join(toks.tolist())
+        html = (
+            f"<html><title>{title}</title><body>{text}</body></html>"
+        ).encode("utf-8")
+        ts = datetime.fromtimestamp(
+            base_ts + float(rng.integers(0, 180 * 86400)), tz=timezone.utc
+        )
+        rows.append(
+            (
+                e * max_copies + c,
+                url,
+                ts,
+                html,
+                text,
+                lang,
+                title,
+                e,
+                str(domain),
+            )
+        )
+    return rows
+
 
 def generate_corpus(
     n_entities: int = 200,
@@ -57,7 +161,7 @@ def generate_corpus(
     n_domains: int = 40,
     dropout: float = 0.04,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Returns (pages_df, labels_df) as pandas frames.
+    """Driver-side path: returns (pages_df, labels_df) as pandas frames.
 
     pages: unique_id, url, warc_ts, html(bytes), text, lang, title,
            entity_id
@@ -65,88 +169,11 @@ def generate_corpus(
             same-domain negative pairs (ground truth at the fixed
             blocking keys).
     """
-    rng = np.random.default_rng(seed)
-    vocab = np.array(_VOCAB)
-
-    # Zipf-skewed domain popularity
-    ranks = np.arange(1, n_domains + 1)
-    dom_p = (1.0 / ranks) / (1.0 / ranks).sum()
-    domains = np.array(
-        [
-            f"site{i}.{_TLDS[i % len(_TLDS)]}"
-            for i in range(n_domains)
-        ]
-    )
-    langs = np.array(["en", "en", "en", "es", "fr", "de"])
-
-    rows = []
-    uid = 0
-    base_ts = datetime(2025, 1, 1, tzinfo=timezone.utc).timestamp()
+    env = _corpus_env(n_domains)
+    rows: list[tuple] = []
     for e in range(n_entities):
-        n_tok = int(rng.integers(40, 120))
-        base_tokens = vocab[rng.integers(0, len(vocab), n_tok)]
-        title_tokens = vocab[rng.integers(0, len(vocab), int(rng.integers(3, 7)))]
-        base_title = " ".join(title_tokens).title()
-        domain = domains[rng.choice(n_domains, p=dom_p)]
-        lang = str(langs[rng.integers(0, len(langs))])
-        path = "/".join(vocab[rng.integers(0, len(vocab), 2)])
-        n_copies = int(rng.integers(1, max_copies + 1))
-        for c in range(n_copies):
-            toks = base_tokens
-            title = base_title
-            page_domain = domain
-            url = f"https://{domain}/{path}"
-            if c > 0:
-                # token dropout + insertion (near-dup, not exact)
-                keep = rng.random(len(toks)) > dropout
-                toks = toks[keep]
-                n_ins = int(rng.integers(0, 3))
-                if n_ins:
-                    ins_pos = rng.integers(0, max(len(toks), 1), n_ins)
-                    toks = np.insert(
-                        toks, ins_pos, vocab[rng.integers(0, len(vocab), n_ins)]
-                    )
-                # title jitter: case + punctuation
-                jitter = int(rng.integers(0, 3))
-                if jitter == 1:
-                    title = base_title.upper()
-                elif jitter == 2:
-                    title = base_title.lower().replace(" ", " - ", 1)
-                # url variant: query string or mirror domain
-                variant = int(rng.integers(0, 3))
-                if variant == 0:
-                    url = f"https://{domain}/{path}?ref={c}"
-                elif variant == 1:
-                    page_domain = "mirror-" + domain
-                    url = f"https://{page_domain}/{path}"
-                else:
-                    url = f"https://{domain}/{path}#s{c}"
-            text = " ".join(toks.tolist())
-            html = (
-                f"<html><title>{title}</title><body>{text}</body></html>"
-            ).encode("utf-8")
-            ts = datetime.fromtimestamp(
-                base_ts + float(rng.integers(0, 180 * 86400)), tz=timezone.utc
-            )
-            rows.append(
-                (uid, url, ts, html, text, lang, title, e, str(domain))
-            )
-            uid += 1
-
-    pages = pd.DataFrame(
-        rows,
-        columns=[
-            "unique_id",
-            "url",
-            "warc_ts",
-            "html",
-            "text",
-            "lang",
-            "title",
-            "entity_id",
-            "base_domain",
-        ],
-    )
+        rows.extend(_entity_rows(e, seed, max_copies, dropout, env))
+    pages = pd.DataFrame(rows, columns=_PAGE_COLS)
 
     # labels: all positive pairs + same-base-domain negatives. Negatives
     # are consecutive same-domain pages (k=1..3 ahead), NOT the full
@@ -206,6 +233,11 @@ _PAGES_SCHEMA = T.StructType(
     ]
 )
 
+_PAGES_SCHEMA_WITH_DOMAIN = T.StructType(
+    _PAGES_SCHEMA.fields
+    + [T.StructField("base_domain", T.StringType(), False)]
+)
+
 _LABELS_SCHEMA = T.StructType(
     [
         T.StructField("unique_id_l", T.LongType(), False),
@@ -218,8 +250,99 @@ _LABELS_SCHEMA = T.StructType(
 def corpus_dataframes(
     spark: SparkSession, n_entities: int = 200, seed: int = 42
 ) -> tuple[DataFrame, DataFrame]:
+    """Driver-generated corpus as Spark DataFrames (small scales)."""
     pages, labels = generate_corpus(n_entities=n_entities, seed=seed)
     return (
         spark.createDataFrame(pages, schema=_PAGES_SCHEMA),
         spark.createDataFrame(labels, schema=_LABELS_SCHEMA),
     )
+
+
+def distributed_corpus(
+    spark: SparkSession,
+    n_entities: int = 200,
+    seed: int = 42,
+    max_copies: int = 4,
+    n_domains: int = 40,
+    dropout: float = 0.04,
+    partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Executor-side path: the SAME corpus as :func:`generate_corpus`
+    (per-entity rng makes the two paths bit-identical), generated in
+    parallel via mapInPandas over the entity range — the driver never
+    materialises a single page. This is the scale path: at sf1+ the
+    driver-side loop becomes the bottleneck (and at real scale would
+    not fit at all).
+
+    Labels are likewise built distributed: positives via an equi
+    self-join on entity_id, negatives via one window pass per domain
+    (three leads in a single projection), anti-joined against
+    positives.
+    """
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 1)
+
+    def gen(batches):
+        env = _corpus_env(n_domains)
+        for pdf in batches:
+            rows: list[tuple] = []
+            for e in pdf["id"]:
+                rows.extend(
+                    _entity_rows(int(e), seed, max_copies, dropout, env)
+                )
+            out = pd.DataFrame(rows, columns=_PAGE_COLS)
+            out["warc_ts"] = pd.to_datetime(out["warc_ts"], utc=True)
+            yield out
+
+    pages_b = spark.range(0, n_entities, 1, parts).mapInPandas(
+        gen, _PAGES_SCHEMA_WITH_DOMAIN
+    )
+
+    ids = pages_b.select("unique_id", "entity_id", "base_domain")
+    pos = (
+        ids.alias("l")
+        .join(
+            ids.alias("r"),
+            F.expr("l.entity_id = r.entity_id AND l.unique_id < r.unique_id"),
+        )
+        .select(
+            F.col("l.unique_id").alias("unique_id_l"),
+            F.col("r.unique_id").alias("unique_id_r"),
+            F.lit(True).alias("is_match"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("base_domain").orderBy("unique_id")
+    leads = ids.select(
+        "unique_id",
+        "entity_id",
+        *[
+            F.lead("unique_id", k).over(w).alias(f"nid{k}")
+            for k in (1, 2, 3)
+        ],
+        *[
+            F.lead("entity_id", k).over(w).alias(f"neid{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    stacked = leads.selectExpr(
+        "unique_id",
+        "entity_id",
+        "stack(3, nid1, neid1, nid2, neid2, nid3, neid3) AS (nid, neid)",
+    )
+    neg = (
+        stacked.filter("nid IS NOT NULL AND neid != entity_id")
+        .select(
+            F.least("unique_id", "nid").alias("unique_id_l"),
+            F.greatest("unique_id", "nid").alias("unique_id_r"),
+        )
+        .distinct()
+        .join(
+            pos.select("unique_id_l", "unique_id_r"),
+            ["unique_id_l", "unique_id_r"],
+            "left_anti",
+        )
+        .withColumn("is_match", F.lit(False))
+    )
+    labels = pos.unionByName(neg)
+    return pages_b.drop("base_domain"), labels

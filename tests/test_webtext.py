@@ -116,3 +116,33 @@ def test_empty_token_arrays_score_without_ansi_error(spark):
     assert rows[3]["jac_text"] == 0.0
     assert rows[5]["jac_text"] == 1.0
     assert rows[5]["gamma_text"] == 2  # top jaccard level
+
+
+def test_distributed_corpus_equals_driver_corpus(spark):
+    """mapInPandas generation is bit-identical to the driver loop, at
+    ANY partition count (per-entity rng), and the distributed labels
+    reproduce the pandas label set exactly."""
+    from splink_spark.fixtures.webpages import (
+        corpus_dataframes,
+        distributed_corpus,
+    )
+
+    d_pages, d_labels = corpus_dataframes(spark, n_entities=40, seed=9)
+    for parts in (2, 7):
+        x_pages, x_labels = distributed_corpus(
+            spark, n_entities=40, seed=9, partitions=parts
+        )
+        a = sorted(
+            (r["unique_id"], r["url"], bytes(r["html"]), r["text"],
+             r["lang"], r["title"], r["entity_id"], r["warc_ts"])
+            for r in d_pages.collect()
+        )
+        b = sorted(
+            (r["unique_id"], r["url"], bytes(r["html"]), r["text"],
+             r["lang"], r["title"], r["entity_id"], r["warc_ts"])
+            for r in x_pages.collect()
+        )
+        assert a == b
+        la = sorted(map(tuple, d_labels.collect()))
+        lb = sorted(map(tuple, x_labels.collect()))
+        assert la == lb
