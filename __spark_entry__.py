@@ -480,6 +480,100 @@ def q_o23_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o22_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        block_using_rules(
+            _docs(spark, sf_dir), [RULE_1], uid=DOC_UID,
+            retain_columns=["n_chars"],
+        )
+        .select(
+            f"{DOC_UID}_l",
+            f"{DOC_UID}_r",
+            (F.abs(F.col("n_chars_l") - F.col("n_chars_r")) <= 2).alias(
+                "is_match"
+            ),
+        )
+    )
+
+
+def q_o22_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """False positives + false negatives against labelled pairs.
+    reference: splink/accuracy.py::prediction_errors_from_labels_table.
+    Hash-robust output: match_weight as scaled BIGINT (NULL when the
+    model never scored the labelled pair)."""
+    from splink_spark.operators.accuracy import (
+        prediction_errors_from_labels,
+    )
+
+    settings = documents_settings()
+    preds = predict_from_comparison_vectors(_vectors(spark, sf_dir), settings)
+    errors = prediction_errors_from_labels(
+        preds,
+        _o22_labels(spark, sf_dir),
+        threshold_match_probability=0.5,
+        left=f"{DOC_UID}_l",
+        right=f"{DOC_UID}_r",
+    )
+    return errors.select(
+        f"{DOC_UID}_l",
+        f"{DOC_UID}_r",
+        "is_match",
+        "predicted_match",
+        F.round(F.col("match_weight") * 1e9).cast("long").alias("mw_e9"),
+    )
+
+
+def q_o24_unlinkables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlinkables chart data: cumulative share of records by best
+    match weight. reference: splink/unlinkables.py::unlinkables_data.
+    Scaled-integer output discipline (weights x10 at 1dp, proportions
+    x1e9; never-paired records' -inf bucket becomes NULL)."""
+    from splink_spark.operators.accuracy import unlinkables_data
+
+    settings = documents_settings()
+    preds = predict_from_comparison_vectors(_vectors(spark, sf_dir), settings)
+    out = unlinkables_data(
+        preds, records=_docs(spark, sf_dir), uid=DOC_UID, round_dp=1
+    )
+    neg_inf = F.lit(float("-inf"))
+    return out.select(
+        F.when(F.col("match_weight_rounded") == neg_inf, F.lit(None))
+        .otherwise(F.round(F.col("match_weight_rounded") * 10))
+        .cast("long")
+        .alias("mw_x10"),
+        F.round(F.col("cum_proportion") * 1e9).cast("long").alias(
+            "cum_prop_e9"
+        ),
+    )
+
+
+def q_o23_viewer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison-viewer data: gamma-pattern distribution with min/max
+    example pairs. reference:
+    splink/comparison_vector_distribution.py."""
+    from splink_spark.operators.vectors import comparison_viewer_data
+
+    settings = documents_settings()
+    return comparison_viewer_data(
+        _vectors(spark, sf_dir), settings, uid=DOC_UID
+    )
+
+
+def q_o26_topk_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record top-k candidate cap (skew guardrail, SURVEY §2.3)."""
+    from splink_spark.operators.predict import keep_top_k_candidates
+
+    settings = documents_settings()
+    preds = predict_from_comparison_vectors(_vectors(spark, sf_dir), settings)
+    out = keep_top_k_candidates(preds, k=3, uid=DOC_UID)
+    return out.select(
+        f"{DOC_UID}_l",
+        f"{DOC_UID}_r",
+        "candidate_rank",
+        F.round(F.col("match_weight") * 1e9).cast("long").alias("mw_e9"),
+    )
+
+
 def q_o14_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     lam = estimate_probability_two_random_records_match(
@@ -507,6 +601,43 @@ def q_o15_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return comps.select(
         F.col("unique_id").alias(DOC_UID), "cluster_id"
+    )
+
+
+def q_o25_cluster_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster graph metrics over the o15 component assignment.
+    reference: splink/graph_metrics.py::compute_cluster_metrics.
+    Scaled-integer ratios (density/centralisation x1e9, NULL where the
+    denominator degenerates)."""
+    from splink_spark.operators.cluster import cluster_metrics
+
+    docs = _docs(spark, sf_dir)
+    edges = block_using_rules(
+        docs,
+        [
+            BlockingRule(
+                rule=(
+                    "l.source = r.source AND l.lang = r.lang "
+                    "AND abs(l.n_chars - r.n_chars) <= 2"
+                )
+            )
+        ],
+        uid=DOC_UID,
+    )
+    comps = connected_components(
+        edges, src=f"{DOC_UID}_l", dst=f"{DOC_UID}_r"
+    )
+    m = cluster_metrics(
+        edges, comps, src=f"{DOC_UID}_l", dst=f"{DOC_UID}_r"
+    )
+    return m.select(
+        "cluster_id",
+        "n_nodes",
+        "n_edges",
+        F.round(F.col("density") * 1e9).cast("long").alias("density_e9"),
+        F.round(F.col("cluster_centralisation") * 1e9)
+        .cast("long")
+        .alias("centralisation_e9"),
     )
 
 
@@ -625,19 +756,7 @@ def q_o21_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_o22_truth_space(spark: SparkSession, sf_dir: str) -> DataFrame:
     settings = documents_settings()
     preds = predict_from_comparison_vectors(_vectors(spark, sf_dir), settings)
-    labels = (
-        block_using_rules(
-            _docs(spark, sf_dir), [RULE_1], uid=DOC_UID,
-            retain_columns=["n_chars"],
-        )
-        .select(
-            f"{DOC_UID}_l",
-            f"{DOC_UID}_r",
-            (F.abs(F.col("n_chars_l") - F.col("n_chars_r")) <= 2).alias(
-                "is_match"
-            ),
-        )
-    )
+    labels = _o22_labels(spark, sf_dir)
     return truth_space_table(
         preds,
         labels,
@@ -994,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o6_templates": q_o6_templates,
         "o14_lambda": q_o14_lambda,
         "o15_connected_components": q_o15_cluster,
+        "o25_cluster_metrics": q_o25_cluster_metrics,
         "o18_self_link": q_o18_self_link,
         "o20_rule_discovery": q_o20_rule_discovery,
         "o17_incremental": q_o17_incremental,
@@ -1002,7 +1122,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o21_missingness": q_o21_missingness,
         "o21_profile_values": q_o21_profile,
         "o22_truth_space": q_o22_truth_space,
+        "o22_errors": q_o22_errors,
         "o23_waterfall": q_o23_waterfall,
+        "o23_viewer": q_o23_viewer,
+        "o24_unlinkables": q_o24_unlinkables,
+        "o26_topk_candidates": q_o26_topk_candidates,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1064,6 +1188,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.n, s.v FROM reach r JOIN sym s ON r.m = s.u
         )
         SELECT n AS {DOC_UID}, min(m) AS cluster_id FROM reach GROUP BY n
+    """
+
+    # -- o25: per-cluster graph metrics over the recursive-CTE closure --
+    cluster_metrics_sql = f"""
+        WITH RECURSIVE edges AS ({cc_edges}),
+        sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+        nodes AS (SELECT DISTINCT u AS n FROM sym),
+        reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.n, s.v FROM reach r JOIN sym s ON r.m = s.u
+        ),
+        clus AS (SELECT n AS id, min(m) AS cluster_id
+                 FROM reach GROUP BY n),
+        deg AS (SELECT u AS id, count(*) AS d FROM sym GROUP BY u),
+        nd AS (SELECT c.cluster_id, coalesce(d.d, 0) AS d
+               FROM clus c LEFT JOIN deg d ON c.id = d.id),
+        per AS (SELECT cluster_id, count(*) AS n_nodes,
+                       CAST(sum(d) AS BIGINT) AS deg_sum,
+                       max(d) AS deg_max
+                FROM nd GROUP BY cluster_id)
+        SELECT cluster_id, n_nodes,
+               CAST(deg_sum / 2 AS BIGINT) AS n_edges,
+               CASE WHEN n_nodes > 1 THEN CAST(round(
+                    ((2 * CAST(deg_sum / 2 AS BIGINT))
+                     / (n_nodes * (n_nodes - 1))) * 1e9) AS BIGINT)
+               END AS density_e9,
+               CASE WHEN n_nodes > 2 THEN CAST(round(
+                    ((n_nodes * deg_max - deg_sum)
+                     / ((n_nodes - 1) * (n_nodes - 2))) * 1e9) AS BIGINT)
+               END AS centralisation_e9
+        FROM per
     """
 
     shingles = word_shingles_sql("text", 3)
@@ -1173,6 +1329,64 @@ def oracle_sql() -> dict[str, str]:
                                     / (precision + recall)
                                ELSE 0.0 END * 1e9) AS BIGINT) AS f1_e9
         FROM pr ORDER BY threshold_weight_e9 DESC NULLS LAST
+    """
+
+    # -- o22_errors: prediction-errors table ----------------------------
+    errors_sql = f"""
+        WITH preds AS ({predict_sql}),
+        labels AS ({labels_sql})
+        SELECT {DOC_UID}_l, {DOC_UID}_r, is_match,
+               coalesce(p.match_probability, 0.0) >= 0.5
+                   AS predicted_match,
+               CAST(round(p.match_weight * 1e9) AS BIGINT) AS mw_e9
+        FROM labels l LEFT JOIN preds p USING ({DOC_UID}_l, {DOC_UID}_r)
+        WHERE (coalesce(p.match_probability, 0.0) >= 0.5
+               AND NOT is_match)
+           OR (coalesce(p.match_probability, 0.0) < 0.5 AND is_match)
+    """
+
+    # -- o24_unlinkables: best-weight cumulative distribution -----------
+    unlinkables_sql = f"""
+        WITH preds AS ({predict_sql}),
+        sides AS (
+            SELECT {DOC_UID}_l AS {DOC_UID}, match_weight FROM preds
+            UNION ALL
+            SELECT {DOC_UID}_r AS {DOC_UID}, match_weight FROM preds),
+        best AS (
+            SELECT d.{DOC_UID}, max(s.match_weight) AS best_mw
+            FROM documents d LEFT JOIN sides s USING ({DOC_UID})
+            GROUP BY d.{DOC_UID}),
+        hist AS (
+            SELECT round(coalesce(best_mw, '-infinity'::DOUBLE), 1)
+                       AS mwr,
+                   count(*) AS n
+            FROM best GROUP BY 1),
+        cum AS (
+            SELECT mwr,
+                   sum(n) OVER (ORDER BY mwr ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_n
+            FROM hist)
+        SELECT CASE WHEN mwr = '-infinity'::DOUBLE THEN NULL
+                    ELSE CAST(round(mwr * 10) AS BIGINT) END AS mw_x10,
+               CAST(round(1e9 * (cum_n /
+                    (SELECT count(*) FROM documents))) AS BIGINT)
+                   AS cum_prop_e9
+        FROM cum
+    """
+
+    # -- o23_viewer: gamma-pattern distribution + min/max examples ------
+    viewer_sql = f"""
+        SELECT {gamma_cols}, count(*) AS pattern_count,
+               (min({{'l': {DOC_UID}_l, 'r': {DOC_UID}_r}})).l
+                   AS example_l_1,
+               (min({{'l': {DOC_UID}_l, 'r': {DOC_UID}_r}})).r
+                   AS example_r_1,
+               (max({{'l': {DOC_UID}_l, 'r': {DOC_UID}_r}})).l
+                   AS example_l_2,
+               (max({{'l': {DOC_UID}_l, 'r': {DOC_UID}_r}})).r
+                   AS example_r_2
+        FROM ({vectors_sql}) v GROUP BY {gamma_cols}
     """
 
     # -- o7_tf_adjusted: TF-adjusted prediction -------------------------
@@ -1357,6 +1571,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "o13_m_pairwise": m_pairwise_sql,
         "o6_templates": templates_sql,
+        "o22_errors": errors_sql,
+        "o24_unlinkables": unlinkables_sql,
+        "o23_viewer": viewer_sql,
+        "o26_topk_candidates": f"""
+            WITH preds AS ({predict_sql})
+            SELECT {DOC_UID}_l, {DOC_UID}_r, candidate_rank,
+                   CAST(round(match_weight * 1e9) AS BIGINT) AS mw_e9
+            FROM (
+                SELECT {DOC_UID}_l, {DOC_UID}_r, match_weight,
+                       row_number() OVER (
+                           PARTITION BY {DOC_UID}_l
+                           ORDER BY match_weight DESC, {DOC_UID}_r
+                       ) AS candidate_rank
+                FROM preds) t
+            WHERE candidate_rank <= 3
+        """,
         "o13_m_histogram": (
             f"SELECT {gamma_cols}, count(*) AS pattern_count FROM ("
             f"SELECT {', '.join(gammas)} FROM "
@@ -1396,6 +1626,7 @@ def oracle_sql() -> dict[str, str]:
             f"((SELECT count(*) FROM documents) - 1) / 2)) AS lambda_est"
         ),
         "o15_connected_components": cc_sql,
+        "o25_cluster_metrics": cluster_metrics_sql,
         "o17_incremental": incr_sql,
         "o19_block_census": (
             "SELECT source, lang, count(*) AS block_size, "

@@ -129,6 +129,107 @@ def truth_space_table(
     return out
 
 
+def unlinkables_data(
+    predictions: DataFrame,
+    records: DataFrame | None = None,
+    uid: str = "unique_id",
+    round_dp: int = 1,
+) -> DataFrame:
+    """Unlinkables chart DATA: for each record, its best (max) match
+    weight over every scored pair it appears in; then, per rounded
+    weight, the cumulative proportion of records whose best weight is
+    <= that value — the share of records that would stay unlinked at
+    any chosen threshold.
+
+    reference: splink/unlinkables.py::unlinkables_data.
+
+    Plan shape: union of two narrow projections -> one max-agg on uid
+    -> tiny weight histogram -> cumulative window over #distinct
+    rounded weights (hundreds of rows; single-partition window is
+    fine). ``records`` (optional) supplies the denominator including
+    records that never entered any pair (best weight -inf -> NULL
+    bucket, reported as proportion at the lowest weight).
+    """
+    sides = predictions.select(
+        F.col(f"{uid}_l").alias(uid), "match_weight"
+    ).unionByName(
+        predictions.select(F.col(f"{uid}_r").alias(uid), "match_weight")
+    )
+    best = sides.groupBy(uid).agg(F.max("match_weight").alias("best_mw"))
+    if records is not None:
+        best = records.select(uid).join(best, uid, "left")
+    total = best.count()
+    hist = (
+        best.withColumn(
+            "match_weight_rounded",
+            F.round(F.coalesce("best_mw", F.lit(float("-inf"))), round_dp),
+        )
+        .groupBy("match_weight_rounded")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("match_weight_rounded").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.withColumn("cum_n", F.sum("n").over(w))
+        .select(
+            "match_weight_rounded",
+            (F.col("cum_n") / F.lit(total)).alias("cum_proportion"),
+        )
+        .orderBy("match_weight_rounded")
+    )
+
+
+def prediction_errors_from_labels(
+    predictions: DataFrame,
+    labels: DataFrame,
+    threshold_match_probability: float = 0.5,
+    left: str = "unique_id_l",
+    right: str = "unique_id_r",
+    include_false_positives: bool = True,
+    include_false_negatives: bool = True,
+) -> DataFrame:
+    """Labelled pairs the model got wrong at a probability threshold:
+    false positives (label non-match, predicted match) and false
+    negatives (label match, predicted non-match; unscored labelled
+    pairs count as predicted non-match).
+
+    reference: splink/accuracy.py::prediction_errors_from_labels_table.
+    """
+    joined = labels.join(
+        predictions.select(
+            left, right, "match_weight", "match_probability"
+        ),
+        on=[left, right],
+        how="left",
+    ).withColumn(
+        "predicted_match",
+        F.coalesce("match_probability", F.lit(0.0))
+        >= threshold_match_probability,
+    )
+    conds = []
+    if include_false_positives:
+        conds.append(F.col("predicted_match") & ~F.col("is_match"))
+    if include_false_negatives:
+        conds.append(~F.col("predicted_match") & F.col("is_match"))
+    if not conds:
+        raise ValueError(
+            "at least one of include_false_positives / "
+            "include_false_negatives must be set"
+        )
+    keep = conds[0]
+    for c in conds[1:]:
+        keep = keep | c
+    return joined.filter(keep).select(
+        left,
+        right,
+        "is_match",
+        "predicted_match",
+        "match_weight",
+        "match_probability",
+    )
+
+
 def pairwise_f1_from_clusters(
     clusters: DataFrame,
     labels: DataFrame,

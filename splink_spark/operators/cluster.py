@@ -147,3 +147,72 @@ def cluster_pairwise_predictions_at_threshold(
         )
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col(uid)))
     )
+
+
+# ---------------------------------------------------------------------------
+# graph metrics — cluster-studio data
+# ---------------------------------------------------------------------------
+
+def node_degree_table(
+    edges: DataFrame,
+    clusters: DataFrame,
+    src: str = "unique_id_l",
+    dst: str = "unique_id_r",
+    uid: str = "unique_id",
+) -> DataFrame:
+    """Per-node degree joined onto cluster assignments (degree 0 for
+    isolated records). reference: splink/graph_metrics.py::
+    compute_node_metrics (node_degree).
+
+    Plan: symmetrise the edge list (union of two narrow projections),
+    one count-agg on node id, one left join — no windows.
+    """
+    sym = edges.select(F.col(src).alias(uid)).unionByName(
+        edges.select(F.col(dst).alias(uid))
+    )
+    deg = sym.groupBy(uid).agg(F.count(F.lit(1)).alias("node_degree"))
+    return clusters.join(deg, uid, "left").withColumn(
+        "node_degree", F.coalesce("node_degree", F.lit(0)).cast("long")
+    )
+
+
+def cluster_metrics(
+    edges: DataFrame,
+    clusters: DataFrame,
+    src: str = "unique_id_l",
+    dst: str = "unique_id_r",
+    uid: str = "unique_id",
+) -> DataFrame:
+    """Per-cluster graph metrics: node count, internal edge count,
+    density = 2E / (N(N-1)) and degree centralisation =
+    (N*max_deg - sum_deg) / ((N-1)(N-2)) — NULL where the denominator
+    degenerates (singletons / pairs), matching the reference's
+    behaviour. reference: splink/graph_metrics.py::
+    compute_cluster_metrics (_size_density_centralisation_sql).
+
+    Plan: degree table (one agg + join) then ONE per-cluster agg;
+    n_edges = sum(degree)/2 (every intra-cluster edge contributes two
+    endpoint degrees — after connected components all edges are
+    intra-cluster by construction).
+    """
+    deg = node_degree_table(edges, clusters, src, dst, uid)
+    per = deg.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("node_degree").alias("__deg_sum"),
+        F.max("node_degree").alias("__deg_max"),
+    )
+    n = F.col("n_nodes")
+    e = (F.col("__deg_sum") / 2).cast("long")
+    return per.select(
+        "cluster_id",
+        "n_nodes",
+        e.alias("n_edges"),
+        F.when(
+            n > 1, (2 * e) / (n * (n - 1))
+        ).alias("density"),
+        F.when(
+            n > 2,
+            (n * F.col("__deg_max") - F.col("__deg_sum"))
+            / ((n - 1) * (n - 2)),
+        ).alias("cluster_centralisation"),
+    )

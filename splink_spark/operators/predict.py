@@ -255,3 +255,25 @@ def match_weight_sql(settings: Settings) -> str:
             bf = f"({bf} + ({tf_adjustment_sql(c)}))"
         terms.append(bf)
     return " + ".join(terms)
+
+
+def keep_top_k_candidates(
+    predictions: DataFrame, k: int = 5, uid: str = "unique_id"
+) -> DataFrame:
+    """Guardrail for skewed records: keep only each left record's k
+    best-scoring candidate pairs (deterministic tie-break on the right
+    id). Not a reference operator — SURVEY §2.3 lists it as the
+    standard cap against hot records exploding downstream stages at
+    web scale.
+
+    Plan: one window per ``uid_l`` partition; Spark runs it as a
+    partial top-k (rank filter pushed into the sort) — no global sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(f"{uid}_l").orderBy(
+        F.desc("match_weight"), F.col(f"{uid}_r")
+    )
+    return predictions.withColumn(
+        "candidate_rank", F.row_number().over(w)
+    ).filter(F.col("candidate_rank") <= k)

@@ -50,6 +50,47 @@ def compute_comparison_vectors(
     return out
 
 
+def comparison_viewer_data(
+    vectors: DataFrame, settings: Settings, uid: str = "unique_id"
+) -> DataFrame:
+    """Comparison-viewer DATA: one row per distinct gamma pattern with
+    its pair count and two example pairs (lexicographic min and max by
+    (uid_l, uid_r)).
+
+    reference: splink/comparison_vector_distribution.py::
+    comparison_vector_distribution_sql (+ the example rows the
+    splink_comparison_viewer dashboard shows per pattern).
+
+    Scale note: examples come from min/max over a struct — ONE
+    partial+final hash aggregation, no per-pattern window sort. A
+    row_number window would sort the hot all-else pattern (by far the
+    largest group at web scale); min/max aggregate in constant memory
+    per group instead.
+    """
+    from pyspark.sql import functions as F
+
+    gammas = settings.gamma_columns
+    pair = F.struct(
+        F.col(f"{uid}_l").alias("l"), F.col(f"{uid}_r").alias("r")
+    )
+    return (
+        vectors.groupBy(*gammas)
+        .agg(
+            F.count(F.lit(1)).alias("pattern_count"),
+            F.min(pair).alias("__ex1"),
+            F.max(pair).alias("__ex2"),
+        )
+        .select(
+            *gammas,
+            "pattern_count",
+            F.col("__ex1.l").alias("example_l_1"),
+            F.col("__ex1.r").alias("example_r_1"),
+            F.col("__ex2.l").alias("example_l_2"),
+            F.col("__ex2.r").alias("example_r_2"),
+        )
+    )
+
+
 def derived_pair_sql_projection(settings: Settings) -> list[str]:
     """ANSI SQL fragments for the shared derived pair columns —
     project these in a subquery/CTE *before* the gamma projection so

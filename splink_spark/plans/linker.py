@@ -426,6 +426,60 @@ class Linker:
             preds, self.settings, uid=self.settings.uid
         )
 
+    def unlinkables(
+        self, predictions: DataFrame | None = None, round_dp: int = 1
+    ) -> DataFrame:
+        """Unlinkables chart data: cumulative share of records by best
+        match weight. reference: splink/unlinkables.py."""
+        from splink_spark.operators.accuracy import unlinkables_data
+
+        preds = predictions if predictions is not None else self.predict()
+        return unlinkables_data(
+            preds,
+            records=self.concat_with_tf(),
+            uid=self.settings.uid,
+            round_dp=round_dp,
+        )
+
+    def prediction_errors_from_labels(
+        self,
+        labels: DataFrame,
+        predictions: DataFrame | None = None,
+        threshold_match_probability: float = 0.5,
+        include_false_positives: bool = True,
+        include_false_negatives: bool = True,
+    ) -> DataFrame:
+        """False-positive / false-negative labelled pairs at a
+        threshold. reference: splink/accuracy.py::
+        prediction_errors_from_labels_table."""
+        from splink_spark.operators.accuracy import (
+            prediction_errors_from_labels,
+        )
+
+        preds = predictions if predictions is not None else self.predict()
+        uid = self.settings.uid
+        return prediction_errors_from_labels(
+            preds,
+            labels,
+            threshold_match_probability=threshold_match_probability,
+            left=f"{uid}_l",
+            right=f"{uid}_r",
+            include_false_positives=include_false_positives,
+            include_false_negatives=include_false_negatives,
+        )
+
+    def comparison_viewer_data(
+        self, vectors: DataFrame | None = None
+    ) -> DataFrame:
+        """Gamma-pattern distribution with example pairs. reference:
+        splink/comparison_vector_distribution.py."""
+        from splink_spark.operators.vectors import comparison_viewer_data
+
+        v = vectors if vectors is not None else self.comparison_vectors()
+        return comparison_viewer_data(
+            v, self.settings, uid=self.settings.uid
+        )
+
     # -- model io ----------------------------------------------------------
 
     def save_model_to_json(self, path: str) -> None:

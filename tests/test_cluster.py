@@ -94,3 +94,39 @@ def test_giant_component(spark):
     edges += [(1000 + i, 1001 + i) for i in range(0, 50, 2)]
     rnd.shuffle(edges)
     _check(spark, edges)
+
+
+def test_cluster_metrics_hand_graph(spark):
+    """Triangle + edge + star: density/centralisation against hand
+    calculation. reference: splink/graph_metrics.py."""
+    from splink_spark.operators.cluster import (
+        cluster_metrics,
+        connected_components,
+        node_degree_table,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (6, 7), (6, 8), (6, 9)],
+        "unique_id_l long, unique_id_r long",
+    )
+    comps = connected_components(edges)
+    m = {
+        r["cluster_id"]: r
+        for r in cluster_metrics(edges, comps).collect()
+    }
+    tri, pair, star = m[1], m[4], m[6]
+    assert (tri["n_nodes"], tri["n_edges"]) == (3, 3)
+    assert tri["density"] == pytest.approx(1.0)
+    assert tri["cluster_centralisation"] == pytest.approx(0.0)
+    assert (pair["n_nodes"], pair["n_edges"]) == (2, 1)
+    assert pair["density"] == pytest.approx(1.0)
+    assert pair["cluster_centralisation"] is None
+    assert (star["n_nodes"], star["n_edges"]) == (4, 3)
+    assert star["density"] == pytest.approx(0.5)
+    assert star["cluster_centralisation"] == pytest.approx(1.0)
+
+    deg = {
+        r["unique_id"]: r["node_degree"]
+        for r in node_degree_table(edges, comps).collect()
+    }
+    assert deg[6] == 3 and deg[9] == 1 and deg[1] == 2

@@ -106,5 +106,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None):
 
 
 if __name__ == "__main__":
-    only = sys.argv[1] if len(sys.argv) > 1 else None
-    sys.exit(1 if main(only=only) else 0)
+    # usage: check_oracles.py [sf_dir] [name_filter]
+    args = sys.argv[1:]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    only = args[1] if len(args) > 1 else None
+    if only is None and args and not sf.startswith("/"):
+        # single non-path arg = a name filter on the default sf dir
+        sf, only = "/root/testdata/sf0.01", sf
+    sys.exit(1 if main(sf, only=only) else 0)
