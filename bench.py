@@ -196,26 +196,32 @@ def main() -> None:
             "cast(pmod(xxhash64(unique_id, d), 2001) as double)/1000.0"
             " - 1.0)"
         )
+        # fixed leg sizes (env-overridable): the RATIO is the evidence;
+        # pinning the absolute size keeps the per-round bench wall
+        # bounded and round-over-round comparable. The 500k-page
+        # datapoint is recorded separately in BENCH/BASELINE.md.
+        base_ents = int(os.environ.get("SPARK_GRAFT_SCALE_X1", "5000"))
         legs: dict[str, dict] = {}
         for leg_name, ents in (
-            ("x1", n_entities),
-            ("x10", n_entities * 10),
+            ("x1", base_ents),
+            ("x10", base_ents * 10),
         ):
             leg: dict = {}
             t0 = time.time()
-            if leg_name == "x1":
-                pages_l, labels_l = pages, labels
-            else:
-                pages_l, labels_l = distributed_corpus(
-                    spark,
-                    n_entities=ents,
-                    seed=42,
-                    partitions=cores * 2,
-                )
-                pages_l = pages_l.select(
-                    "unique_id", "text"
-                ).persist()
+            pages_l, labels_l = distributed_corpus(
+                spark,
+                n_entities=ents,
+                seed=42,
+                partitions=cores * 2,
+            )
+            pages_l = pages_l.select("unique_id", "text").persist()
             n_pg = pages_l.count()
+            edges_l = (
+                labels_l.filter(F.col("is_match"))
+                .select("unique_id_l", "unique_id_r")
+                .persist()
+            )
+            edges_l.count()
             leg["n_pages"] = n_pg
             leg["generate_sec"] = round(time.time() - t0, 3)
 
@@ -230,11 +236,7 @@ def main() -> None:
             leg["minhash_sec"] = round(time.time() - t0, 3)
 
             t0 = time.time()
-            leg["cc_rows"] = connected_components(
-                labels_l.filter(F.col("is_match")).select(
-                    "unique_id_l", "unique_id_r"
-                )
-            ).count()
+            leg["cc_rows"] = connected_components(edges_l).count()
             leg["cc_sec"] = round(time.time() - t0, 3)
 
             t0 = time.time()
@@ -252,8 +254,8 @@ def main() -> None:
             ).count()
             leg["ivf_sec"] = round(time.time() - t0, 3)
             legs[leg_name] = leg
-            if leg_name == "x10":
-                pages_l.unpersist()
+            pages_l.unpersist()
+            edges_l.unpersist()
 
         data_ratio = legs["x10"]["n_pages"] / max(legs["x1"]["n_pages"], 1)
         growth = {
