@@ -999,6 +999,23 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup over the label-bucketed equi-join path.
+    Threshold applied to the ROUNDED cosine on both sides (raw-double
+    thresholding could flip boundary pairs between engines)."""
+    from splink_spark.operators.dedup import embedding_near_duplicates
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pairs = embedding_near_duplicates(
+        emb, bucket_col="label", threshold=-2.0
+    )
+    return pairs.select(
+        "vec_id_l",
+        "vec_id_r",
+        F.round("cosine", 6).alias("cosine"),
+    ).filter(F.round(F.col("cosine"), 6) >= 0.8)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     scores = langid_scores("text")
@@ -1131,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
         "sim_topk_bruteforce": q_sim_topk,
         "sim_topk_lsh": q_sim_lsh_topk,
         "sim_topk_ivf": q_sim_ivf_topk,
@@ -1724,6 +1742,15 @@ def oracle_sql() -> dict[str, str]:
                         ELSE NULL END AS duration_ms
             FROM documents
         """,
+        "dedup_embedding": (
+            "SELECT vec_id_l, vec_id_r, cosine FROM ("
+            "SELECT l.vec_id AS vec_id_l, r.vec_id AS vec_id_r, "
+            "round(list_cosine_similarity(l.embedding::DOUBLE[], "
+            "r.embedding::DOUBLE[]), 6) AS cosine "
+            "FROM embeddings l JOIN embeddings r "
+            "ON l.label = r.label AND l.vec_id < r.vec_id) t "
+            "WHERE round(cosine, 6) >= 0.8"
+        ),
         # ::DOUBLE[] casts: Spark computes cosine in double; DuckDB's
         # float32 path diverges in the last ulps otherwise
         "sim_topk_bruteforce": (
