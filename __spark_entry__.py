@@ -1013,7 +1013,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id_l",
         "vec_id_r",
         F.round("cosine", 6).alias("cosine"),
-    ).filter(F.round(F.col("cosine"), 6) >= 0.8)
+    ).filter(F.round(F.col("cosine"), 6) >= 0.3)
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1749,7 +1749,7 @@ def oracle_sql() -> dict[str, str]:
             "r.embedding::DOUBLE[]), 6) AS cosine "
             "FROM embeddings l JOIN embeddings r "
             "ON l.label = r.label AND l.vec_id < r.vec_id) t "
-            "WHERE round(cosine, 6) >= 0.8"
+            "WHERE round(cosine, 6) >= 0.3"
         ),
         # ::DOUBLE[] casts: Spark computes cosine in double; DuckDB's
         # float32 path diverges in the last ulps otherwise
