@@ -131,17 +131,35 @@ def minhash_lsh_candidates(
     as blocking rules), deduped across bands with the NOT-previous-bands
     predicate — pairs are emitted once, no global distinct.
     """
-    # two materialized steps: shingles once, then bands from the stored
-    # shingle column — otherwise every band (and every join side)
-    # re-derives tokens+shingles from raw text
+    # three materialized steps: shingles once, md5 digests once per
+    # 4-band GROUP (each 128-bit digest yields four 32-bit band
+    # slices), then band keys — otherwise every band (and every join
+    # side) re-derives tokens+shingles+digests from raw text. At 500k
+    # pages the digest pass dominates; sharing it across 4 bands cut
+    # the wall ~4x.
+    from splink_spark.functions.text import (
+        minhash_bands_from_digests,
+        shingle_digests,
+    )
+
     sh_df = df.select(
         F.col(id_col),
         F.array_distinct(word_shingles(text_col, shingle_k)).alias("__sh"),
     ).localCheckpoint(eager=False)
-    keyed = sh_df.select(
+    n_groups = (num_bands + 3) // 4
+    dig_df = sh_df.select(
         F.col(id_col),
         *[
-            minhash_band(F.col("__sh"), b).alias(f"mh_{b}")
+            shingle_digests(F.col("__sh"), g).alias(f"__dig{g}")
+            for g in range(n_groups)
+        ],
+    ).localCheckpoint(eager=False)
+    keyed = dig_df.select(
+        F.col(id_col),
+        *[
+            minhash_bands_from_digests(
+                F.col(f"__dig{b // 4}"), b
+            ).alias(f"mh_{b}")
             for b in range(num_bands)
         ],
     ).localCheckpoint(eager=False)
