@@ -15,6 +15,8 @@ def test_bench_prints_one_json_line():
         "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
         "SPARK_GRAFT_CPUS": "4",
         "SAMPLE_PAIRS": "50000",
+        # contract test checks the JSON shape, not scale: tiny legs
+        "SPARK_GRAFT_SCALE_X1": "400",
     }
     proc = subprocess.run(
         [sys.executable, "/root/repo/bench.py"],
