@@ -1016,6 +1016,29 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.round(F.col("cosine"), 6) >= 0.3)
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-min gap) with
+    per-session aggregates + JSON props extraction. Integer-microsecond
+    time math and scaled-integer value sums keep the surface
+    hash-robust."""
+    from splink_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    s = sessionize(ev, gap_minutes=30.0)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+        F.round(F.sum("value") * 100).cast("long").alias("sum_value_e2"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias(
+            "n_clicks"
+        ),
+        F.max(
+            F.regexp_extract("props", "[0-9]+", 0).cast("int")
+        ).alias("max_k"),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     scores = langid_scores("text")
@@ -1152,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": q_sim_topk,
         "sim_topk_lsh": q_sim_lsh_topk,
         "sim_topk_ivf": q_sim_ivf_topk,
+        "events_sessions": q_events_sessions,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal,
@@ -1765,6 +1789,32 @@ def oracle_sql() -> dict[str, str]:
             "ON c.vec_id != q.vec_id WHERE q.vec_id < 10) t "
             "WHERE rank <= 5"
         ),
+        "events_sessions": """
+            WITH base AS (
+                SELECT user_id, event_id, event_type, value, props,
+                       epoch_us(ts) AS us,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_us
+                FROM events),
+            s AS (
+                SELECT *, sum(CASE WHEN prev_us IS NULL
+                                   OR us - prev_us > 1800000000
+                              THEN 1 ELSE 0 END) OVER (
+                        PARTITION BY user_id ORDER BY us, event_id
+                    ) AS session_idx
+                FROM base)
+            SELECT user_id, session_idx,
+                   count(*) AS n_events,
+                   max(us) - min(us) AS duration_us,
+                   CAST(round(sum(value) * 100) AS BIGINT)
+                       AS sum_value_e2,
+                   CAST(sum(CASE WHEN event_type = 'click'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+                   max(CAST(regexp_extract(props, '[0-9]+', 0)
+                            AS INTEGER)) AS max_k
+            FROM s GROUP BY user_id, session_idx
+        """,
         "text_stats": (
             f"SELECT {DOC_UID}, {token_count_sql('text')} AS n_tokens, "
             f"{doc_fingerprint_sql('text')} AS fingerprint, "
