@@ -93,3 +93,50 @@ def stream_exact_dedup(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_windowed_event_counts(
+    events_stream: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Watermarked tumbling-window counts over an event stream —
+    the canonical late-data-tolerant streaming aggregation
+    (readStream -> withWatermark -> window groupBy -> append sink).
+
+    Events later than ``watermark_delay`` behind the max observed
+    timestamp are dropped; a window's row is emitted exactly once,
+    when the watermark passes its end (append mode), so the parquet
+    sink never needs upserts. State per key x open window is bounded
+    by the watermark — constant memory at any stream length.
+    """
+    from pyspark.sql import functions as F
+
+    agg = (
+        events_stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("w"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -117,3 +117,67 @@ def test_stream_exact_dedup_emits_first_seen_only(spark, tmp_path_factory):
     # one survivor from the {1,2,4} content group, plus doc 3
     assert 3 in ids
     assert len(ids & {1, 2, 4}) == 1
+
+
+def test_stream_windowed_counts_with_watermark(spark, tmp_path_factory):
+    """Two file-source micro-batches; append mode emits a window only
+    after the watermark passes its end, and a too-late event is
+    dropped."""
+    import time
+    from datetime import datetime
+
+    from splink_spark.streaming.incremental import (
+        stream_windowed_event_counts,
+    )
+
+    root = tmp_path_factory.mktemp("winstream")
+    src = root / "src"
+    out = root / "out"
+    ck = root / "ck"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+
+    t = lambda m, s=0: datetime(2024, 1, 1, m // 60, m % 60, s)
+    # batch 1: two windows' worth of clicks + a view
+    write_batch("b1", [
+        (0, t(0), "click"), (1, t(1), "click"), (2, t(3), "view"),
+        (3, t(7), "click"),
+        # advance the max timestamp so the watermark (10m) passes the
+        # [0,5) and [5,10) windows
+        (4, t(30), "view"),
+    ])
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src / "*"))
+    q = stream_windowed_event_counts(
+        stream, str(out), str(ck), trigger_once=True
+    )
+    q.awaitTermination(120)
+
+    # batch 2: a LATE click for the long-closed [0,5) window + another
+    # fresh event far ahead to advance the watermark again
+    write_batch("b2", [
+        (5, t(2), "click"),        # late: watermark is already 0:20
+        (6, t(60), "view"),
+    ])
+    q = stream_windowed_event_counts(
+        stream, str(out), str(ck), trigger_once=True
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"].minute, r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # [0,5): 2 clicks + 1 view from batch 1; the late click (event 5)
+    # must NOT appear (window emitted before it arrived)
+    assert got[(0, "click")] == 2
+    assert got[(0, "view")] == 1
+    assert got[(5, "click")] == 1
+    assert (30, "view") in got  # emitted once batch 2 advanced the mark
