@@ -979,13 +979,31 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (inverted-file, deterministic k-means centroids) with a
     driver-checkable quality gate: recall@1 vs brute force over the
-    first 50 queries must be >= 0.8 at nprobe=16/64 centroids."""
+    first 50 queries must be >= 0.8.
+
+    Index sizing follows the standard IVF rule — n_centroids ~ sqrt(n),
+    nprobe a fixed fraction of the lists — so the gate holds across
+    scale factors (fixed 64/16 passed at sf0.01 but dipped to 0.74 at
+    sf0.1's 2000 vectors). The fraction is high (60%) because these
+    fixture embeddings are noise-dominated 16-dim vectors — a worst
+    case for coarse quantization; clustered real embeddings probe far
+    fewer lists for the same recall."""
+    import math
+
     from splink_spark.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
+    n = emb.count()
+    n_centroids = max(16, min(64, int(math.isqrt(n))))
+    nprobe = max(8, (3 * n_centroids) // 5)
     queries_df = emb.filter(F.col("vec_id") < 50)
     ivf = ivf_topk(
-        emb, queries_df, k=5, n_centroids=64, nprobe=16, iters=2
+        emb,
+        queries_df,
+        k=5,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+        iters=3,
     ).select("query_id", "vec_id")
     bf1 = brute_force_topk(emb, queries_df, k=1).select(
         "query_id", "vec_id"
