@@ -170,3 +170,29 @@ def test_templates_on_persons_fixture(spark):
     # city-blocked pairs share the postcode area by construction, so
     # the else level never fires here; area level (1) stands in
     assert {1, 4} <= seen
+
+
+def test_templates_json_roundtrip(spark):
+    """Template-built Settings survive to_dict/from_dict byte-exactly
+    (sql_condition overrides and tf fields included) and produce the
+    same gammas after the round trip."""
+    from splink_spark.model import Settings
+
+    settings = Settings(
+        comparisons=[
+            forename_surname_comparison(),
+            date_comparison("dob", cast_strings_to_date=True),
+            postcode_comparison(),
+            email_comparison(),
+        ],
+        blocking_rules=[BlockingRule(rule="l.city = r.city")],
+    )
+    d = settings.to_dict()
+    back = Settings.from_dict(d)
+    assert back.to_dict() == d
+    rows = [(0, "SW1A 1AA", "SW1A 1ZZ")]
+    comp = back.comparisons[2]  # postcode
+    df = spark.createDataFrame(
+        rows, "pair_id long, postcode_l string, postcode_r string"
+    )
+    assert df.withColumn("g", comp.gamma_expr()).collect()[0]["g"] == 3
