@@ -77,28 +77,87 @@ def main(argv: list[str] | None = None) -> int:
     else:
         pages = spark.read.parquet(args.input)
     if "unique_id" not in pages.columns:
-        # deterministic surrogate id from the url (stable across runs)
-        pages = pages.withColumn("unique_id", F.xxhash64("url"))
+        if "url" in pages.columns:
+            # deterministic surrogate id from the url (stable across runs)
+            pages = pages.withColumn("unique_id", F.xxhash64("url"))
+        elif "doc_id" in pages.columns:
+            pages = pages.withColumn("unique_id", F.col("doc_id"))
+        else:
+            raise SystemExit(
+                "input needs a unique_id, url, or doc_id column"
+            )
+    if "url" not in pages.columns:
+        # text-only corpus (e.g. the documents fixture): a synthetic
+        # per-source url keeps the domain blocking key meaningful
+        pages = pages.withColumn(
+            "url",
+            F.concat(
+                F.lit("local://"),
+                F.coalesce(
+                    F.col("source") if "source" in pages.columns
+                    else F.lit(None),
+                    F.lit("corpus"),
+                ),
+                F.lit("/"),
+                F.col("unique_id").cast("string"),
+            ),
+        )
 
     settings = web_dedupe_settings()
     prepared = prepare_pages(pages).persist()
     n_pages = prepared.count()
 
-    pairs = block_using_rules(
-        prepared,
-        settings.blocking_rules,
-        uid="unique_id",
-        retain_columns=["text_tokens", "bk_title", "bk_domain"],
-    )
-    scored = predict_from_comparison_vectors(
-        compute_comparison_vectors(pairs, settings), settings
-    ).select(
-        "unique_id_l", "unique_id_r", "match_weight", "match_probability"
-    )
-    edges = scored.filter(
-        F.col("match_probability") >= args.threshold
-    ).select("unique_id_l", "unique_id_r")
-    comps = connected_components(edges)
+    def build_scored() -> "DataFrame":
+        pairs = block_using_rules(
+            prepared,
+            settings.blocking_rules,
+            uid="unique_id",
+            retain_columns=["text_tokens", "bk_title", "bk_domain"],
+        )
+        return predict_from_comparison_vectors(
+            compute_comparison_vectors(pairs, settings), settings
+        ).select(
+            "unique_id_l",
+            "unique_id_r",
+            "match_weight",
+            "match_probability",
+        )
+
+    stage_summary: list[dict] = []
+    if args.checkpoint_dir:
+        # resumable path (north rule): scored pairs and cluster
+        # assignments checkpoint under content keys derived from the
+        # model + input fingerprint; a rerun with an existing
+        # checkpoint reads parquet instead of recomputing, and each
+        # stage leaves per-partition lineage + metrics alongside
+        from splink_spark.plans.stages import (
+            StageManager,
+            content_hash,
+            input_fingerprint,
+        )
+
+        mgr = StageManager(spark, args.checkpoint_dir)
+        key = content_hash(
+            settings.to_json(), input_fingerprint({"pages": pages})
+        )
+        scored = mgr.stage("scored_pairs", key, build_scored)
+        edges = scored.filter(
+            F.col("match_probability") >= args.threshold
+        ).select("unique_id_l", "unique_id_r")
+        comps = mgr.stage(
+            "clusters",
+            content_hash(key, str(args.threshold)),
+            lambda: connected_components(edges),
+            extra_metrics={"threshold": args.threshold},
+        )
+        stage_summary = mgr.summary()
+    else:
+        scored = build_scored()
+        edges = scored.filter(
+            F.col("match_probability") >= args.threshold
+        ).select("unique_id_l", "unique_id_r")
+        comps = connected_components(edges)
+
     clusters = pages.join(comps, "unique_id", "left").withColumn(
         "cluster_id", F.coalesce("cluster_id", F.col("unique_id"))
     )
@@ -114,6 +173,7 @@ def main(argv: list[str] | None = None) -> int:
         "n_clusters": n_clusters,
         "threshold": args.threshold,
         "wall_sec": round(time.time() - t0, 2),
+        "stages": stage_summary,
     }))
     return 0
 
