@@ -105,3 +105,39 @@ def test_changed_input_invalidates_checkpoint(spark, docs, tmp_path_factory):
     assert not any(s["resumed"] for s in mgr2.summary())
     half_pairs = [s for s in mgr2.summary() if s["stage"] == "blocked_pairs"][0]
     assert half_pairs["rows"] < full_pairs["rows"]
+
+
+def test_submit_pipeline_resumes_from_checkpoint(tmp_path):
+    """tools/submit_pipeline.py --checkpoint-dir: second run must
+    resume both stages from parquet, producing identical outputs."""
+    import json
+    import subprocess
+    import sys
+
+    out1, out2 = tmp_path / "o1", tmp_path / "o2"
+    ck = tmp_path / "ck"
+
+    def run(out):
+        proc = subprocess.run(
+            [
+                sys.executable, "/root/repo/tools/submit_pipeline.py",
+                "--input", "/root/testdata/sf0.001/documents.parquet",
+                "--output", str(out),
+                "--checkpoint-dir", str(ck),
+            ],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        line = [
+            ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+        ][-1]
+        return json.loads(line)
+
+    first = run(out1)
+    assert [s["resumed"] for s in first["stages"]] == [False, False]
+    second = run(out2)
+    assert [s["resumed"] for s in second["stages"]] == [True, True]
+    assert second["n_clusters"] == first["n_clusters"]
+    assert [s["rows"] for s in second["stages"]] == [
+        s["rows"] for s in first["stages"]
+    ]
