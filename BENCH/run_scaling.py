@@ -119,7 +119,9 @@ n_edges = preds.count()
 
 t0 = time.time()
 comps = connected_components(preds.select("unique_id_l", "unique_id_r"))
-clusters = pages.join(comps, "unique_id", "left").withColumn(
+# narrow (id, cluster_id) assignment only: caching the html payload
+# through this join serializes ~1KB/row nothing downstream reads
+clusters = pages.select("unique_id").join(comps, "unique_id", "left").withColumn(
     "cluster_id", F.coalesce("cluster_id", F.col("unique_id"))
 ).persist()
 clusters.count()

@@ -151,12 +151,14 @@ def main() -> None:
     t0 = time.time()
     edges = preds.select("unique_id_l", "unique_id_r")
     comps = connected_components(edges)
+    # assignment = every page id -> cluster id. Persist the NARROW
+    # (id, cluster_id) pairs only: dragging the html payload through
+    # the join and into the cache serializes ~1KB/row for columns no
+    # downstream consumer (F1 is id-only) reads
     clusters = (
-        pages.join(
-            comps.withColumnRenamed("unique_id", "unique_id"),
-            "unique_id",
-            "left",
-        ).withColumn(
+        pages.select("unique_id")
+        .join(comps, "unique_id", "left")
+        .withColumn(
             "cluster_id", F.coalesce("cluster_id", F.col("unique_id"))
         )
     ).persist()

@@ -50,12 +50,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
     mins = sym.groupBy("u").agg(
         F.least(F.min("v"), F.first("u")).alias("m")
     )
+    # NO distinct here: the output feeds _small_star, whose groupBy-min
+    # is duplicate-insensitive and whose own final distinct dedups the
+    # superstep's result — a mid-superstep distinct would be one full
+    # extra shuffle of the edge set per round
     return (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -107,7 +110,9 @@ def connected_components(
 
     sig = _signature(e)
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the signature aggregate is the action that
+        # materialises it — one job per superstep instead of two
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         new_sig = _signature(e)
         if new_sig == sig:
             break
