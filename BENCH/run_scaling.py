@@ -161,8 +161,16 @@ def run(cores: int, entities: int) -> dict:
         SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "12g"),
     )
     t0 = time.time()
+    # CPU-affinity pinning: local[N] bounds TASK slots, not process
+    # threads — an unpinned local[2] JVM borrows idle host cores for
+    # GC/shuffle/python workers, inflating the small leg's throughput
+    # and understating scaling efficiency. taskset bounds the whole
+    # process tree to N cores, the honest N-executor proxy.
+    cmd = [sys.executable, "-c", WORKER]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", WORKER], env=env, capture_output=True,
+        cmd, env=env, capture_output=True,
         text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
