@@ -176,13 +176,21 @@ def datediff_level(
     days: int,
     m: float | None = None,
     u: float | None = None,
+    cast_strings_to_date: bool = False,
 ) -> ComparisonLevel:
     """|datediff| <= days. reference:
-    comparison_level_library.py::datediff_level."""
+    comparison_level_library.py::datediff_level.
+    ``cast_strings_to_date`` wraps both sides in ``try_cast(x AS
+    DATE)`` (identical syntax in Spark and DuckDB) for string-typed
+    date columns — DuckDB's datediff does not auto-cast VARCHAR."""
+    l, r = f"{col}_l", f"{col}_r"
+    if cast_strings_to_date:
+        l = f"try_cast({l} AS DATE)"
+        r = f"try_cast({r} AS DATE)"
     return ComparisonLevel(
         label=f"datediff {col} <= {days}d",
-        condition=f"abs(datediff({col}_l, {col}_r)) <= {days}",
-        sql_condition=f"abs(datediff('day', {col}_r, {col}_l)) <= {days}",
+        condition=f"abs(datediff({l}, {r})) <= {days}",
+        sql_condition=f"abs(datediff('day', {r}, {l})) <= {days}",
         m_probability=m,
         u_probability=u,
     )
@@ -430,6 +438,7 @@ def datediff_at_thresholds(
     col: str,
     thresholds: list[int] | None = None,
     include_exact: bool = True,
+    cast_strings_to_date: bool = False,
 ) -> Comparison:
     """reference: comparison_library.py::datediff_at_thresholds.
     ``thresholds``: |datediff| day bounds, tightest first,
@@ -438,7 +447,12 @@ def datediff_at_thresholds(
     levels: list[ComparisonLevel] = [null_level(col)]
     if include_exact:
         levels.append(exact_match_level(col))
-    levels += [datediff_level(col, days) for days in sorted(thresholds)]
+    levels += [
+        datediff_level(
+            col, days, cast_strings_to_date=cast_strings_to_date
+        )
+        for days in sorted(thresholds)
+    ]
     levels.append(else_level())
     return Comparison(
         output_column_name=col, input_columns=[col], levels=levels

@@ -268,6 +268,19 @@ class Settings:
     # starting with "__" are dropped after the gammas are computed.
     derived_pair_expressions: dict[str, str] = field(default_factory=dict)
 
+    def __post_init__(self) -> None:
+        # duplicate output names would silently produce colliding
+        # gamma_<name> columns (last-write-wins in a DataFrame chain,
+        # first-bind in SQL — different answers per engine); fail fast
+        names = [c.output_column_name for c in self.comparisons]
+        dupes = {n for n in names if names.count(n) > 1}
+        if dupes:
+            raise ValueError(
+                "duplicate comparison output_column_name(s): "
+                f"{sorted(dupes)} — each comparison needs a distinct "
+                "name (set output_column_name explicitly)"
+            )
+
     @property
     def uid(self) -> str:
         return self.unique_id_column_name
