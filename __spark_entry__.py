@@ -1346,8 +1346,14 @@ def oracle_sql() -> dict[str, str]:
             FROM labels l LEFT JOIN preds p
               USING ({DOC_UID}_l, {DOC_UID}_r)),
         totals AS (
-            SELECT sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS P,
-                   sum(CASE WHEN is_match THEN 0 ELSE 1 END) AS N
+            -- CAST: DuckDB sum(int) returns HUGEINT, which Arrow renders
+            -- as decimal128(38,0) -> Decimal cells under the driver's
+            -- normalizer. Every count on the comparison surface must be
+            -- BIGINT (root cause of the r1-r3 o22 hash mismatch).
+            SELECT CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END)
+                        AS BIGINT) AS P,
+                   CAST(sum(CASE WHEN is_match THEN 0 ELSE 1 END)
+                        AS BIGINT) AS N
             FROM joined),
         per AS (
             SELECT mw,
@@ -1356,10 +1362,12 @@ def oracle_sql() -> dict[str, str]:
             FROM joined GROUP BY mw),
         cum AS (
             SELECT mw,
-                   sum(pos_here) OVER (ORDER BY mw DESC
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
-                   sum(neg_here) OVER (ORDER BY mw DESC
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+                   CAST(sum(pos_here) OVER (ORDER BY mw DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS tp,
+                   CAST(sum(neg_here) OVER (ORDER BY mw DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS fp
             FROM per),
         -- precision/recall computed ONCE, f1 from those columns: same
         -- sub-expression structure and evaluation order as the Spark
@@ -1816,11 +1824,11 @@ def oracle_sql() -> dict[str, str]:
                        ) AS prev_us
                 FROM events),
             s AS (
-                SELECT *, sum(CASE WHEN prev_us IS NULL
+                SELECT *, CAST(sum(CASE WHEN prev_us IS NULL
                                    OR us - prev_us > 1800000000
                               THEN 1 ELSE 0 END) OVER (
                         PARTITION BY user_id ORDER BY us, event_id
-                    ) AS session_idx
+                    ) AS BIGINT) AS session_idx
                 FROM base)
             SELECT user_id, session_idx,
                    count(*) AS n_events,

@@ -5,6 +5,7 @@ compare row count, column names, and an order-insensitive value hash
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 
@@ -21,6 +22,12 @@ def norm_cell(v):
         return "NULL"
     if isinstance(v, bool):
         return str(v)
+    # Decimal cells (DuckDB HUGEINT sums surfacing through Arrow as
+    # decimal128) are deliberately rendered as floats so they hash
+    # DIFFERENTLY from int64 — reproducing the driver-side mismatch that
+    # fetchall() (which collapses HUGEINT to Python int) could not see.
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -79,9 +86,13 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None):
             print(f"ROWS-ONLY {name}: {len(rows)} rows, cols={cols}")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # Normalise through Arrow (what the driver does), NOT
+            # fetchall(): fetchall collapses HUGEINT to Python int and
+            # hides decimal128 surfaces.
+            tbl = con.execute(oracles[name]).arrow()
+            ocols = tbl.schema.names
+            ocolumns = [c.to_pylist() for c in tbl.columns]
+            orows = list(zip(*ocolumns)) if ocolumns else []
         except Exception as e:
             print(f"FAIL {name}: oracle error {str(e)[:300]}")
             failures += 1
