@@ -435,6 +435,136 @@ def _em_m_step_sql(settings: Settings, lam: float, hist_rel: str) -> str:
     )
 
 
+def _em_session_sql(
+    settings: Settings, lam_init: float, n_iter: int, hist_rel: str
+) -> str:
+    """O12 — a full multi-iteration EM training session as ONE shared
+    SQL string (Spark and DuckDB evaluate the same text over their own
+    independently computed gamma histograms).
+
+    Unlike the single-step mirrors (o10/o11) the per-iteration m/u are
+    RELATIONS, not literals: ``params{t}`` carries (comparison,
+    gamma_value, m, u); the E-step joins the histogram to ``params{t}``
+    once per comparison (LEFT JOIN + coalesce(.,1.0) so gamma = -1
+    contributes factor 1); the M-step unpivots the gammas, aggregates
+    posterior mass, and window-normalises per comparison over the full
+    level grid so unobserved levels keep m = 0 rather than vanishing.
+    lambda updates as sum(p*cnt)/sum(cnt) each iteration.
+
+    Surface: (iteration, comparison, gamma_value, m_e9, u_e9,
+    lambda_e9) — scaled integers only, hash-robust per the oracle
+    type-hygiene rule.
+    reference: splink/em_training_session.py::EMTrainingSession
+    (_train / expectation_maximisation loop)."""
+    comps = settings.comparisons
+
+    # static level grid + initial params as inline VALUES relations
+    p0_rows, grid_rows = [], []
+    for comp in comps:
+        for k, lv in enumerate(comp.scored_levels):
+            p0_rows.append(
+                f"('{comp.output_column_name}', {k}, "
+                f"CAST({lv.m_probability!r} AS DOUBLE), "
+                f"CAST({lv.u_probability!r} AS DOUBLE))"
+            )
+            grid_rows.append(f"('{comp.output_column_name}', {k})")
+    ctes = [
+        f"h AS (SELECT * FROM {hist_rel})",
+        (
+            "grid AS (SELECT * FROM (VALUES "
+            + ", ".join(grid_rows)
+            + ") AS g(comparison, gamma_value))"
+        ),
+        (
+            "params0 AS (SELECT * FROM (VALUES "
+            + ", ".join(p0_rows)
+            + ") AS p(comparison, gamma_value, m, u))"
+        ),
+        f"lam0 AS (SELECT CAST({lam_init!r} AS DOUBLE) AS lam)",
+    ]
+
+    for t in range(1, n_iter + 1):
+        prev = t - 1
+        joins, m_fac, u_fac = [], [], []
+        for i, comp in enumerate(comps):
+            a = f"j{i}"
+            joins.append(
+                f"LEFT JOIN params{prev} {a} ON {a}.comparison = "
+                f"'{comp.output_column_name}' AND {a}.gamma_value = "
+                f"h.{comp.gamma_column}"
+            )
+            m_fac.append(f"coalesce({a}.m, CAST(1.0 AS DOUBLE))")
+            u_fac.append(f"coalesce({a}.u, CAST(1.0 AS DOUBLE))")
+        prodm = " * ".join(m_fac)
+        produ = " * ".join(u_fac)
+        gamma_cols = ", ".join(f"h.{c.gamma_column}" for c in comps)
+        ctes.append(
+            f"e{t} AS (SELECT {gamma_cols}, h.pattern_count, "
+            f"(L.lam * ({prodm})) / (L.lam * ({prodm}) + "
+            f"(CAST(1.0 AS DOUBLE) - L.lam) * ({produ})) AS p "
+            f"FROM h CROSS JOIN lam{prev} L {' '.join(joins)})"
+        )
+        unpivot = " UNION ALL ".join(
+            f"SELECT '{comp.output_column_name}' AS comparison, "
+            f"{comp.gamma_column} AS gamma_value, p, pattern_count "
+            f"FROM e{t} WHERE {comp.gamma_column} != -1"
+            for comp in comps
+        )
+        ctes.append(
+            f"mu{t} AS (SELECT g.comparison, g.gamma_value, "
+            f"coalesce(sum(x.p * CAST(x.pattern_count AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE)) AS m_num, "
+            f"coalesce(sum((CAST(1.0 AS DOUBLE) - x.p) * "
+            f"CAST(x.pattern_count AS DOUBLE)), CAST(0.0 AS DOUBLE)) "
+            f"AS u_num FROM grid g LEFT JOIN ({unpivot}) x "
+            f"ON x.comparison = g.comparison "
+            f"AND x.gamma_value = g.gamma_value "
+            f"GROUP BY g.comparison, g.gamma_value)"
+        )
+        ctes.append(
+            f"params{t} AS (SELECT comparison, gamma_value, "
+            f"m_num / sum(m_num) OVER (PARTITION BY comparison) AS m, "
+            f"u_num / sum(u_num) OVER (PARTITION BY comparison) AS u "
+            f"FROM mu{t})"
+        )
+        ctes.append(
+            f"lam{t} AS (SELECT sum(p * CAST(pattern_count AS DOUBLE))"
+            f" / sum(CAST(pattern_count AS DOUBLE)) AS lam FROM e{t})"
+        )
+
+    surface = " UNION ALL ".join(
+        f"SELECT {t} AS iteration, p.comparison, p.gamma_value, "
+        f"p.m, p.u, L.lam FROM params{t} p CROSS JOIN lam{t} L"
+        for t in range(1, n_iter + 1)
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT CAST(iteration AS BIGINT) AS iteration, comparison, "
+        "CAST(gamma_value AS BIGINT) AS gamma_value, "
+        "CAST(round(m * 1e9) AS BIGINT) AS m_e9, "
+        "CAST(round(u * 1e9) AS BIGINT) AS u_e9, "
+        "CAST(round(lam * 1e9) AS BIGINT) AS lambda_e9 "
+        f"FROM ({surface}) final"
+    )
+
+
+def q_o12_em_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12 — three EM iterations (m, u and lambda all training) over
+    the documents gamma histogram, per-iteration parameter surface.
+    reference: splink/em_training_session.py::EMTrainingSession."""
+    settings = documents_settings()
+    hist = q_o9_gamma_histogram(spark, sf_dir)
+    hist.createOrReplaceTempView("__em_hist")
+    return spark.sql(
+        _em_session_sql(
+            settings,
+            settings.probability_two_random_records_match,
+            3,
+            "__em_hist",
+        )
+    )
+
+
 def q_o10_e_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O10 — EM E-step posteriors per agreement pattern, evaluated by
     the same SQL expression tree the DuckDB oracle runs.
@@ -1151,6 +1281,81 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode loop (fake=False end to end): deterministic
+    BMP and PNG payloads are synthesized per document — PNGs with
+    MIXED scanline filters (row y uses filter y % 5, so Sub/Up/
+    Average/Paeth unfiltering all execute) — then decoded back to RGB
+    by the stdlib-only decoders, surfacing integer per-channel pixel
+    sums. The oracle replays the pixel formulas relationally (lateral
+    range joins), so any wrong stride, filter predictor, or channel
+    order breaks the match exactly.
+    reference: n/a (multimodal plumbing is a north-rule addition)."""
+    import pandas as pd  # noqa: PLC0415
+
+    from splink_spark.multimodal import (
+        decode_bmp,
+        decode_png,
+        make_bmp,
+        make_png,
+    )
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col(DOC_UID) % 4 < 2)
+        .select(
+            F.col(DOC_UID).alias("media_id"),
+            F.coalesce(F.col("n_chars"), F.lit(0))
+            .cast("long")
+            .alias("nc"),
+        )
+    )
+
+    def synth_decode(batches):
+        for pdf in batches:
+            out = []
+            for mid, nc in zip(pdf["media_id"], pdf["nc"]):
+                mid, nc = int(mid), int(nc)
+                if mid % 4 == 0:
+                    codec = "bmp"
+                    p = make_bmp(nc % 31 + 1, mid % 17 + 1, seed=mid)
+                    rgb = decode_bmp(p)
+                else:
+                    codec = "png"
+                    p = make_png(
+                        nc % 23 + 1,
+                        mid % 13 + 1,
+                        seed=mid,
+                        filter_mode="mixed",
+                    )
+                    rgb = decode_png(p)
+                s = rgb.reshape(-1, 3).astype("int64").sum(axis=0)
+                out.append(
+                    (
+                        mid,
+                        codec,
+                        rgb.shape[1],
+                        rgb.shape[0],
+                        int(s[0]),
+                        int(s[1]),
+                        int(s[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "codec", "width", "height",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return docs.mapInPandas(
+        synth_decode,
+        "media_id long, codec string, width long, height long, "
+        "sum_r long, sum_g long, sum_b long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o1_concat": q_o1_concat,
@@ -1166,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o9_gamma_histogram": q_o9_gamma_histogram,
         "o10_e_step": q_o10_e_step,
         "o11_m_step": q_o11_m_step,
+        "o12_em_session": q_o12_em_session,
         "o13_m_histogram": q_o13_m_histogram,
         "o13_m_pairwise": q_o13_m_pairwise,
         "o6_templates": q_o6_templates,
@@ -1198,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -1637,6 +1844,13 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT {gamma_cols}, count(*) AS pattern_count "
             f"FROM ({vectors_sql}) v GROUP BY {gamma_cols}) h",
         ),
+        "o12_em_session": _em_session_sql(
+            settings,
+            settings.probability_two_random_records_match,
+            3,
+            f"(SELECT {gamma_cols}, count(*) AS pattern_count "
+            f"FROM ({vectors_sql}) v GROUP BY {gamma_cols}) h",
+        ),
         "o13_m_pairwise": m_pairwise_sql,
         "o6_templates": templates_sql,
         "o22_errors": errors_sql,
@@ -1791,6 +2005,55 @@ def oracle_sql() -> dict[str, str]:
                              * 800 * 2 / 16000)) AS BIGINT)
                         ELSE NULL END AS duration_ms
             FROM documents
+        """,
+        # the pixel-value formulas replayed relationally: unnest(range)
+        # builds the (x, y) grid per image; the Spark side must recover
+        # the exact per-channel pixel sums by decoding the REAL
+        # container bytes (BMP strides, PNG zlib + Sub/Up/Average/Paeth
+        # unfiltering — the synth uses filter y % 5 per scanline)
+        "multimodal_decode": f"""
+            WITH m AS (
+                SELECT {DOC_UID} AS media_id,
+                       CAST(coalesce(n_chars, 0) AS BIGINT) AS nc
+                FROM documents WHERE {DOC_UID} % 4 < 2),
+            dims AS (
+                SELECT media_id,
+                       CASE WHEN media_id % 4 = 0
+                            THEN 'bmp' ELSE 'png' END AS codec,
+                       CASE WHEN media_id % 4 = 0
+                            THEN nc % 31 + 1
+                            ELSE nc % 23 + 1 END AS width,
+                       CASE WHEN media_id % 4 = 0
+                            THEN media_id % 17 + 1
+                            ELSE media_id % 13 + 1 END AS height
+                FROM m),
+            px AS (
+                SELECT *, unnest(range(width)) AS x FROM dims),
+            pxy AS (
+                SELECT *, unnest(range(height)) AS y FROM px),
+            vals AS (
+                SELECT media_id, codec, width, height,
+                       CASE WHEN codec = 'bmp'
+                            THEN (x + 2 * y + media_id) % 256
+                            ELSE (3 * x + y + media_id) % 256
+                       END AS base
+                FROM pxy)
+            SELECT media_id, codec,
+                   CAST(width AS BIGINT) AS width,
+                   CAST(height AS BIGINT) AS height,
+                   CAST(sum(CASE WHEN codec = 'bmp'
+                            THEN (base + 170) % 256
+                            ELSE base END) AS BIGINT) AS sum_r,
+                   CAST(sum(CASE WHEN codec = 'bmp'
+                            THEN (base + 85) % 256
+                            ELSE (base + 60) % 256 END) AS BIGINT)
+                       AS sum_g,
+                   CAST(sum(CASE WHEN codec = 'bmp'
+                            THEN base
+                            ELSE (base + 120) % 256 END) AS BIGINT)
+                       AS sum_b
+            FROM vals
+            GROUP BY media_id, codec, width, height
         """,
         "dedup_embedding": (
             "SELECT vec_id_l, vec_id_r, cosine FROM ("

@@ -156,6 +156,96 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return bgr[..., ::-1].copy()  # BGR -> RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9, filter type 4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL decode of an 8-bit non-interlaced PNG into an (h, w, 3)
+    uint8 RGB array — stdlib ``zlib`` + per-scanline unfiltering, no
+    codec library (PNG spec: chunk walk, IDAT concat, filter types
+    0-4 including Paeth). Color types: 0 (gray, replicated to RGB),
+    2 (RGB), 6 (RGBA, alpha dropped). Raises ValueError on anything
+    else (interlaced, 16-bit, palette)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+                raise ValueError(
+                    f"unsupported PNG flavour (depth={depth}, "
+                    f"color={color}, interlace={interlace})"
+                )
+            ch = {0: 1, 2: 3, 6: 4}[color]
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8,
+            count=stride, offset=y * (stride + 1) + 1,
+        ).astype(np.int32)
+        if f == 0:
+            recon = row
+        elif f == 1:  # Sub: cumulative sum per channel position
+            recon = np.cumsum(
+                row.reshape(w, ch), axis=0, dtype=np.int64
+            ).reshape(stride) % 256
+        elif f == 2:  # Up
+            recon = row + prev
+        elif f == 3:  # Average — sequential left dependency
+            recon = np.zeros(stride, dtype=np.int32)
+            p32 = prev.astype(np.int32)
+            for i in range(stride):
+                left = recon[i - ch] if i >= ch else 0
+                recon[i] = (row[i] + (left + p32[i]) // 2) % 256
+        elif f == 4:  # Paeth — sequential left dependency
+            recon = np.zeros(stride, dtype=np.int32)
+            p32 = prev.astype(np.int32)
+            for i in range(stride):
+                a = int(recon[i - ch]) if i >= ch else 0
+                c = int(p32[i - ch]) if i >= ch else 0
+                recon[i] = (row[i] + _paeth(a, int(p32[i]), c)) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        prev = (recon % 256).astype(np.uint8)
+        out[y] = prev
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2).copy()
+    return px[:, :, :3].copy()
+
+
 def _image_features(rgb: np.ndarray, dim: int = _FEATURE_DIM) -> np.ndarray:
     """Fixed-width features from decoded pixels: dims, aspect, overall
     + per-quadrant channel means (deterministic, test-assertable)."""
@@ -178,22 +268,30 @@ def _image_features(rgb: np.ndarray, dim: int = _FEATURE_DIM) -> np.ndarray:
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode + featurize an image payload.
 
-    Uncompressed 24-bit BMP decodes for REAL (header + numpy, see
-    decode_bmp). Compressed codecs need libraries absent from this
-    container: NotImplementedError unless ``fake=True``, which
-    substitutes the deterministic md5-seeded pseudo-decoder."""
+    Uncompressed 24-bit BMP and 8-bit non-interlaced PNG decode for
+    REAL (header + numpy + stdlib zlib, see decode_bmp / decode_png).
+    Remaining codecs (JPEG, palette/16-bit PNG, GIF frames, ...) need
+    libraries absent from this container: NotImplementedError unless
+    ``fake=True``, which substitutes the deterministic md5-seeded
+    pseudo-decoder."""
     if payload and payload[:2] == b"BM":
         try:
             return _image_features(decode_bmp(payload))
         except (ValueError, struct.error):
             if not fake:
                 raise
+    if payload and payload[:8] == _PNG_SIG:
+        try:
+            return _image_features(decode_png(payload))
+        except (ValueError, struct.error, zlib.error):
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
-            "compressed-image decoding requires an imaging library not "
+            "decoding this format requires an imaging library not "
             "present in this environment; pass fake=True for the "
-            "deterministic stub (uncompressed 24-bit BMP decodes for "
-            "real)"
+            "deterministic stub (uncompressed 24-bit BMP and 8-bit "
+            "PNG decode for real)"
         )
     return _fake_features(payload)
 
@@ -223,8 +321,14 @@ def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
     return header + rows[::-1].tobytes()  # bottom-up row order
 
 
-def make_png(width: int, height: int, seed: int = 0) -> bytes:
-    """Valid 8-bit RGB PNG (filter 0 scanlines, one zlib IDAT)."""
+def make_png(
+    width: int, height: int, seed: int = 0, filter_mode: str = "none"
+) -> bytes:
+    """Valid 8-bit RGB PNG, one zlib IDAT. ``filter_mode``:
+    ``"none"`` writes every scanline with filter 0 (byte-stable —
+    the md5-parity oracles depend on it); ``"mixed"`` filters row y
+    with type ``y % 5`` (None/Sub/Up/Average/Paeth), exercising the
+    decoder's full unfilter matrix while producing identical pixels."""
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -240,9 +344,35 @@ def make_png(width: int, height: int, seed: int = 0) -> bytes:
     px = np.stack(
         [base, (base + 60) % 256, (base + 120) % 256], axis=-1
     ).astype(np.uint8)
-    raw = b"".join(
-        b"\x00" + px[y].tobytes() for y in range(height)
-    )
+    flat = px.reshape(height, width * 3).astype(np.int32)
+    parts = []
+    for y in range(height):
+        row = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros_like(row)
+        f = (y % 5) if filter_mode == "mixed" else 0
+        if f == 0:
+            filt = row
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(3, np.int32), row[:-3]])
+            filt = (row - left) % 256
+        elif f == 2:  # Up
+            filt = (row - prev) % 256
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(3, np.int32), row[:-3]])
+            filt = (row - (left + prev) // 2) % 256
+        else:  # Paeth
+            left = np.concatenate([np.zeros(3, np.int32), row[:-3]])
+            ul = np.concatenate([np.zeros(3, np.int32), prev[:-3]])
+            pred = np.array(
+                [
+                    _paeth(int(a), int(b), int(c))
+                    for a, b, c in zip(left, prev, ul)
+                ],
+                dtype=np.int32,
+            )
+            filt = (row - pred) % 256
+        parts.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+    raw = b"".join(parts)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)

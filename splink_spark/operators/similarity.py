@@ -198,39 +198,63 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_train_rows: int | None = None,
 ) -> np.ndarray:
-    """Deterministic Lloyd k-means for IVF coarse centroids.
+    """Deterministic Lloyd k-means for IVF coarse centroids, trained
+    on a CAPPED hash sample — never the full corpus.
 
-    - init: the ``n_centroids`` rows with smallest xxhash64(id, seed)
-      — a deterministic uniform sample, no RNG state on executors;
-    - each iteration: assign (vectorized matmul UDF) then recompute
-      means DISTRIBUTED — posexplode the vectors and aggregate
-      avg per (centroid, dimension); only the C x d means (tiny)
-      ever reach the driver.
+    k-means coarse-quantizer quality needs O(samples-per-centroid),
+    not O(corpus): a full-corpus assignment pass per Lloyd iteration
+    is O(n * iters) and was the one super-linear term in the IVF
+    build path (bench scale-check ivf wall-growth 1.167 at x10). The
+    training set is the ``max_train_rows`` (default
+    ``64 * n_centroids``) rows with the smallest
+    ``xxhash64(id, seed)`` — a deterministic uniform sample taken by
+    ONE map-side TakeOrdered pass over the corpus; the first
+    ``n_centroids`` of the same ordering seed the centroids (identical
+    init to the pre-cap implementation). Lloyd then iterates in numpy
+    on the collected sample: assignment uses the same
+    normalized-cosine / stable-argsort math as ``_assign_udf``, means
+    average the RAW vectors, empty clusters keep their centroid.
+
+    Scale note (100 TB): the only full-corpus cost left is the single
+    sample pass; driver memory is bounded by
+    ``max_train_rows * dim * 8`` bytes — size the cap accordingly
+    (the sqrt-n centroid heuristic must itself be capped upstream,
+    see ``__spark_entry__.q_sim_topk_ivf``).
     """
-    init = (
+    if max_train_rows is None:
+        max_train_rows = 64 * n_centroids
+    max_train_rows = max(max_train_rows, n_centroids)
+    sample_rows = (
         emb.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-        .limit(n_centroids)
+        .limit(max_train_rows)
         .collect()
     )
-    centroids = np.asarray([r[vec_col] for r in init], dtype=np.float64)
+    train = np.asarray(
+        [r[vec_col] for r in sample_rows], dtype=np.float64
+    )
+    centroids = train[:n_centroids].copy()
     dim = centroids.shape[1]
+    # assignment ranks by cosine: normalize once, like _assign_udf
+    tn = train / np.maximum(
+        np.linalg.norm(train, axis=1, keepdims=True), 1e-12
+    )
 
     for _ in range(iters):
-        assign = _assign_udf(centroids, nprobe=1)
-        assigned = emb.select(
-            F.element_at(assign(F.col(vec_col)), 1).alias("__c"),
-            F.posexplode(vec_col).alias("__d", "__x"),
+        cn = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
         )
-        means = (
-            assigned.groupBy("__c", "__d")
-            .agg(F.avg("__x").alias("m"))
-            .collect()
-        )
+        sims = tn @ cn.T
+        # np.argmax takes the FIRST max on ties — same winner as
+        # _assign_udf's stable argsort[:, 0]
+        best = np.argmax(sims, axis=1)
         new = centroids.copy()  # empty clusters keep their centroid
-        for r in means:
-            new[r["__c"], r["__d"]] = r["m"]
+        for c in range(centroids.shape[0]):
+            mask = best == c
+            if mask.any():
+                new[c] = train[mask].mean(axis=0)
         centroids = new
     assert centroids.shape == (n_centroids, dim)
     return centroids

@@ -304,3 +304,46 @@ def test_session_fix_m_leaves_model_untouched(spark):
     ]
     assert after_m == before_m
     assert after_u != before_u
+
+
+def test_em_session_sql_matches_numpy_em_fit(spark):
+    """The O12 relational EM-session SQL (params-as-relations, three
+    iterations) must reproduce the production numpy ``em_fit`` path
+    iteration by iteration — ties the driver oracle to the library.
+    reference: splink/em_training_session.py::EMTrainingSession."""
+    import __spark_entry__ as entrymod
+    from splink_spark.operators.training import collect_histogram
+
+    sf_dir = "/root/testdata/sf0.001"
+    settings = entrymod.documents_settings()
+    vectors = entrymod._vectors(spark, sf_dir)
+    patterns, counts = collect_histogram(vectors, settings)
+    res = em_fit(
+        patterns,
+        counts,
+        [len(c.scored_levels) for c in settings.comparisons],
+        [
+            np.array([lv.m_probability for lv in c.scored_levels])
+            for c in settings.comparisons
+        ],
+        [
+            np.array([lv.u_probability for lv in c.scored_levels])
+            for c in settings.comparisons
+        ],
+        settings.probability_two_random_records_match,
+        tol=0.0,  # run all iterations, no early stop
+        max_iterations=3,
+    )
+
+    rows = entrymod.q_o12_em_session(spark, sf_dir).collect()
+    assert len(rows) == 3 * sum(
+        len(c.scored_levels) for c in settings.comparisons
+    )
+    names = [c.output_column_name for c in settings.comparisons]
+    for r in rows:
+        snap = res.param_history[r["iteration"]]
+        ci = names.index(r["comparison"])
+        k = r["gamma_value"]
+        assert r["m_e9"] == round(snap["m"][ci][k] * 1e9), r
+        assert r["u_e9"] == round(snap["u"][ci][k] * 1e9), r
+        assert r["lambda_e9"] == round(snap["lam"] * 1e9), r

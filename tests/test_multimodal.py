@@ -142,3 +142,62 @@ def test_extract_features_real_bmp_spark(spark):
         # width/height features carry the real decoded dimensions
         assert by_id[i][0] == pytest.approx(4.0 + i)
         assert by_id[i][1] == pytest.approx(3.0 + i)
+
+
+def test_decode_png_all_filters_roundtrip():
+    """Every PNG filter type (None/Sub/Up/Average/Paeth) unfilters
+    back to the exact synthesized pixels."""
+    from splink_spark.multimodal import decode_png
+
+    for w, h in [(1, 1), (2, 7), (23, 13), (40, 3)]:
+        for mode in ("none", "mixed"):
+            rgb = decode_png(make_png(w, h, seed=9, filter_mode=mode))
+            y, x = np.mgrid[0:h, 0:w]
+            base = (3 * x + y + 9) % 256
+            want = np.stack(
+                [base, (base + 60) % 256, (base + 120) % 256], axis=-1
+            )
+            np.testing.assert_array_equal(rgb, want, err_msg=f"{w}x{h} {mode}")
+
+
+def test_decode_png_rejects_unsupported():
+    from splink_spark.multimodal import decode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    # 16-bit depth header
+    import struct as _struct
+    import zlib as _zlib
+
+    def chunk(typ, data):
+        return (
+            _struct.pack(">I", len(data)) + typ + data
+            + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(bad)
+
+
+def test_extract_features_real_png_spark(spark):
+    """fake=False end-to-end over PNG payloads with mixed filters —
+    the decoder runs inside mapInPandas and the width/height features
+    carry the real decoded dimensions."""
+    rows = [
+        (i, make_png(4 + i, 3 + i, seed=i, filter_mode="mixed"))
+        for i in range(6)
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    by_id = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(media, fake=False).collect()
+    }
+    assert len(by_id) == 6
+    for i in range(6):
+        assert by_id[i][0] == pytest.approx(4.0 + i)
+        assert by_id[i][1] == pytest.approx(3.0 + i)
