@@ -1,0 +1,207 @@
+"""Apples-to-apples run against the public claim "~1M person records
+end-to-end in ≈1 minute on a DuckDB laptop" (≈16.7k records/s —
+BASELINE.md public-claim row; reference: splink README headline).
+
+Same workload SHAPE as the reference demo: ~1M person records (names
+/ dob / city / email / postcode with typo + swap + null corruption),
+equality-dominated comparisons plus one bounded levenshtein,
+lambda from deterministic rules → u from random sampling (max_pairs
+1e6, the reference default) → two EM sessions (m trained, u fixed)
+→ predict over three selective blocking rules → threshold + connected
+components. The fixture is generated executor-side
+(distributed_persons) and generation is NOT part of the timed span —
+the claim assumes the data already exists.
+
+Writes the PERSONS appendix region of BENCH/BASELINE.md in place
+(markers; analysis sections outside are preserved).
+Run:  python BENCH/run_persons.py      [CORES=8 ENTITIES=400000]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["REPO"])
+from splink_spark.session import get_spark
+from splink_spark.fixtures.persons import distributed_persons
+from splink_spark.model import BlockingRule, Comparison, Settings
+from splink_spark.functions.comparators import (
+    else_level, exact_match, exact_match_level, levenshtein_at_thresholds,
+    null_level,
+)
+from splink_spark.plans.linker import Linker
+from splink_spark.operators.accuracy import pairwise_f1_from_clusters
+from pyspark.sql import functions as F
+
+cores = int(os.environ.get("CORES", "8"))
+n_entities = int(os.environ.get("ENTITIES", "400000"))
+spark = get_spark(app_name=f"persons_{cores}", cores=cores)
+
+t0 = time.time()
+persons = distributed_persons(
+    spark, n_entities=n_entities, seed=42, partitions=cores * 2
+).persist()
+n_records = persons.count()
+labels = persons.select("unique_id", "cluster").persist()
+labels.count()
+gen_sec = time.time() - t0
+
+settings = Settings(
+    unique_id_column_name="unique_id",
+    probability_two_random_records_match=0.001,  # re-estimated below
+    blocking_rules=[
+        BlockingRule(rule="l.dob = r.dob AND l.city = r.city"),
+        BlockingRule(rule="l.email = r.email"),
+        BlockingRule(rule="l.postcode = r.postcode"),
+    ],
+    comparisons=[
+        exact_match("first_name"),
+        levenshtein_at_thresholds("surname", 2),
+        exact_match("dob"),
+        exact_match("city"),
+        exact_match("email"),
+    ],
+)
+linker = Linker(persons.drop("cluster"), settings)
+
+timings = {}
+t0 = time.time()
+linker.estimate_probability_two_random_records_match(
+    ["l.email = r.email"], recall=0.8
+)
+timings["lambda"] = time.time() - t0
+
+t0 = time.time()
+linker.estimate_u_using_random_sampling(max_pairs=1_000_000)
+timings["estimate_u"] = time.time() - t0
+
+t0 = time.time()
+linker.estimate_parameters_using_expectation_maximisation(
+    "l.first_name = r.first_name AND l.surname = r.surname", fix_u=True
+)
+linker.estimate_parameters_using_expectation_maximisation(
+    "l.dob = r.dob", fix_u=True
+)
+timings["em"] = time.time() - t0
+
+t0 = time.time()
+preds = linker.predict().select(
+    "unique_id_l", "unique_id_r", "match_probability", "match_weight"
+).persist()
+# aggregate over match_weight so Catalyst cannot prune the scoring
+agg = preds.agg(
+    F.count(F.lit(1)).alias("n"), F.sum("match_weight").alias("s")
+).collect()[0]
+n_pairs = int(agg["n"])
+timings["predict"] = time.time() - t0
+
+t0 = time.time()
+clusters = linker.cluster_pairwise_predictions_at_threshold(preds, 0.9)
+clusters.count()
+timings["cluster"] = time.time() - t0
+
+f1 = pairwise_f1_from_clusters(
+    clusters.select("unique_id", "cluster_id"), labels
+)
+
+pipeline_sec = sum(timings.values())
+print("RESULT " + json.dumps({
+    "cores": cores,
+    "n_records": n_records,
+    "gen_sec": round(gen_sec, 2),
+    "pairs_scored": n_pairs,
+    "timings": {k: round(v, 2) for k, v in timings.items()},
+    "pipeline_sec": round(pipeline_sec, 2),
+    "records_per_sec": round(n_records / pipeline_sec, 1),
+    "f1": round(f1["f1"], 5),
+}))
+"""
+
+PERSONS_BEGIN = "<!-- PERSONS:BEGIN (auto-managed by run_persons.py) -->"
+PERSONS_END = "<!-- PERSONS:END -->"
+
+
+def run_once(cores: int, entities: int) -> dict:
+    env = dict(
+        os.environ,
+        REPO=REPO,
+        CORES=str(cores),
+        ENTITIES=str(entities),
+        SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "12g"),
+    )
+    cmd = [sys.executable, "-c", WORKER]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(
+        cmd, env=env, capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
+    raise RuntimeError("no RESULT line")
+
+
+def main() -> None:
+    cores = int(os.environ.get("CORES", "8"))
+    entities = int(os.environ.get("ENTITIES", "400000"))
+    repeats = int(os.environ.get("REPEATS", "3"))
+    runs = []
+    for _ in range(repeats):
+        r = run_once(cores, entities)
+        print(json.dumps(r))
+        runs.append(r)
+    med_rps = statistics.median(r["records_per_sec"] for r in runs)
+    best = max(runs, key=lambda r: r["records_per_sec"])
+    med_t = {
+        k: round(statistics.median(r["timings"][k] for r in runs), 2)
+        for k in best["timings"]
+    }
+    stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+    claim = 16700.0
+    payload = f"""
+Run: {stamp}, local[{cores}] taskset-pinned, median of {repeats}
+(best shown alongside). {best['n_records']} records
+({entities} entities), {best['pairs_scored']} pairs scored across the
+three blocking rules, pairwise F1 vs planted clusters =
+{best['f1']}.
+
+| stage | median (s) | best (s) |
+|---|---|---|
+| lambda from deterministic rules | {med_t['lambda']} | {best['timings']['lambda']} |
+| estimate u (1e6 random pairs) | {med_t['estimate_u']} | {best['timings']['estimate_u']} |
+| EM (2 sessions, m trained, u fixed) | {med_t['em']} | {best['timings']['em']} |
+| predict (block + score) | {med_t['predict']} | {best['timings']['predict']} |
+| cluster (threshold 0.9 + CC) | {med_t['cluster']} | {best['timings']['cluster']} |
+
+**Median throughput: {med_rps:.0f} records/s — {med_rps / claim:.2f}x
+the public claim's ≈16,700 records/s** (best run
+{best['records_per_sec']:.0f} rec/s = {best['records_per_sec'] / claim:.2f}x).
+Corpus generation ({best['gen_sec']}s) is excluded from the timed
+span, as the claim assumes data already on disk.
+"""
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out_path) as f:
+        doc = f.read()
+    i = doc.index(PERSONS_BEGIN) + len(PERSONS_BEGIN)
+    j = doc.index(PERSONS_END)
+    doc = doc[:i] + "\n" + payload + "\n" + doc[j:]
+    with open(out_path, "w") as f:
+        f.write(doc)
+    print(
+        f"wrote {out_path}; median {med_rps:.0f} rec/s "
+        f"({med_rps / claim:.2f}x claim)"
+    )
+
+
+if __name__ == "__main__":
+    main()

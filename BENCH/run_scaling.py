@@ -40,12 +40,17 @@ spark = get_spark(app_name=f"scaling_{cores}", cores=cores)
 
 timings = {}
 # executor-side generation (per-entity rng: same corpus as the driver
-# path at any partitioning) — the driver never holds a page
+# path at any partitioning) — the driver never holds a page. Timed
+# since r4 so the median protocol tracks the one stage BENCH_r03
+# showed regressing (generate_corpus 9.7 -> 13.5s; suspected host
+# noise, now measured with medians).
+t0 = time.time()
 pages, labels = distributed_corpus(
     spark, n_entities=n_entities, seed=42, partitions=cores * 2
 )
 pages = pages.persist(); pages.count()
 labels = labels.persist(); labels.count()
+timings["generate"] = time.time() - t0
 settings = web_dedupe_settings()
 
 t0 = time.time()
@@ -140,7 +145,9 @@ print("RESULT " + json.dumps({
     "scoring_sec": round(scoring_sec, 2),
     "scored_pairs_per_sec": round(total_scored / scoring_sec, 1),
     "edges_retained": n_edges,
-    "pipeline_sec": round(sum(timings.values()), 2),
+    "pipeline_sec": round(
+        sum(v for k, v in timings.items() if k != "generate"), 2
+    ),
     "timings": {k: round(v, 2) for k, v in timings.items()},
     "f1": round(f1["f1"], 5),
 }))
@@ -182,28 +189,38 @@ def run(cores: int, entities: int) -> dict:
     raise RuntimeError(f"no RESULT line from cores={cores}")
 
 
-def best_of(n: int, cores: int, entities: int) -> dict:
+def stats_of(n: int, cores: int, entities: int) -> dict:
     """This sandbox is a shared host (cumulative CPU steal ≈ 50% of
     user time in /proc/stat): single runs vary 3-6x with co-tenant
-    load. Best-of-n approximates the uncontended capability of each
-    configuration, which is what the N-vs-4N comparison is about.
-    Per-stage MEDIANS across the repeats are attached as
-    ``median_timings`` so one lucky/unlucky stage can't carry or sink
-    the stage table."""
+    load. The HEADLINE is the median of n repeats (r4 protocol — the
+    r3 best-of-3 duels produced 0.845 vs 0.775 on identical code);
+    best-of is reported alongside as the uncontended-capability
+    estimate, plus the min-max spread so the reader sees the noise
+    floor."""
     import statistics
 
     runs = [run(cores, entities) for _ in range(n)]
     for r in runs:
         print(json.dumps(r))
     best = min(runs, key=lambda r: r["scoring_sec"])
-    best["median_timings"] = {
+    tps = sorted(r["scored_pairs_per_sec"] for r in runs)
+    out = dict(best)  # shape/counts from the best run
+    out["runs"] = len(runs)
+    out["best_scoring_sec"] = best["scoring_sec"]
+    out["best_tp"] = best["scored_pairs_per_sec"]
+    out["median_tp"] = round(statistics.median(tps), 1)
+    out["tp_spread"] = (tps[0], tps[-1])
+    out["median_scoring_sec"] = round(
+        statistics.median(r["scoring_sec"] for r in runs), 2
+    )
+    out["median_pipeline_sec"] = round(
+        statistics.median(r["pipeline_sec"] for r in runs), 2
+    )
+    out["median_timings"] = {
         k: round(statistics.median(r["timings"][k] for r in runs), 2)
         for k in best["timings"]
     }
-    best["median_scoring_sec"] = round(
-        statistics.median(r["scoring_sec"] for r in runs), 2
-    )
-    return best
+    return out
 
 
 def _burn(_):
@@ -237,81 +254,104 @@ CORES_A = int(os.environ.get("CORES_A", "8"))
 CORES_B = int(os.environ.get("CORES_B", "32"))
 
 
+RESULTS_BEGIN = "<!-- RESULTS:BEGIN (auto-managed by run_scaling.py) -->"
+RESULTS_END = "<!-- RESULTS:END -->"
+HISTORY_END = "<!-- HISTORY:END -->"
+
+
+def _splice(doc: str, begin: str, end: str, payload: str) -> str:
+    """Replace the region between two markers, keeping everything
+    outside — the hand-maintained analysis appendices survive every
+    rerun (r3 lost three appendices to a whole-file rewrite)."""
+    i, j = doc.index(begin), doc.index(end)
+    return doc[: i + len(begin)] + "\n" + payload + "\n" + doc[j:]
+
+
 def main() -> None:
     entities = int(os.environ.get("SCALE_ENTITIES", "80000"))
-    repeats = int(os.environ.get("SCALE_REPEATS", "3"))
+    repeats = int(os.environ.get("SCALE_REPEATS", "5"))
     host = measure_host_parallel_capacity()
     print(json.dumps({"host_capacity": host}))
-    r8 = best_of(repeats, CORES_A, entities)
-    r32 = best_of(repeats, CORES_B, entities)
+    ra = stats_of(repeats, CORES_A, entities)
+    rb = stats_of(repeats, CORES_B, entities)
 
     ratio = CORES_B / CORES_A
-    eff_throughput = (
-        r32["scored_pairs_per_sec"] / r8["scored_pairs_per_sec"]
+    # HEADLINE: median-based efficiency (r4 protocol)
+    eff_median = (rb["median_tp"] / ra["median_tp"]) / ratio
+    eff_best = (rb["best_tp"] / ra["best_tp"]) / ratio
+    eff_pipeline = (
+        ra["median_pipeline_sec"] / rb["median_pipeline_sec"]
     ) / ratio
-    eff_pipeline = (r8["pipeline_sec"] / r32["pipeline_sec"]) / ratio
     eff_vs_host = (
-        r32["scored_pairs_per_sec"] / r8["scored_pairs_per_sec"]
+        rb["median_tp"] / ra["median_tp"]
     ) / host["host_capacity_ratio"]
+    stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
 
-    md = f"""# BENCH/BASELINE.md — measured scaling runs
-
-Protocol (BASELINE.md "sandbox measurement protocol"): identical job,
-identical input (deterministic corpus, seed 42, {entities} entities ≈
-{r8['n_pages']} pages), identical JVM heap; only parallelism differs
+    results = f"""
+Protocol: identical job, identical input (deterministic corpus, seed
+42, {entities} entities ≈ {ra['n_pages']} pages), identical JVM heap,
+`taskset`-pinned process trees; only parallelism differs
 (local[{CORES_A}] vs local[{CORES_B}] — the N vs 4N executor proxy).
-Each configuration is best-of-{repeats}: this sandbox is a shared host
-(cumulative CPU steal ≈ 50% of user time per /proc/stat), so single
-runs vary several-fold with co-tenant load; best-of-n approximates
-each configuration's uncontended capability.
+**{repeats} repeats per configuration; the headline is the MEDIAN**
+(best-of and min-max spread shown so the shared-host noise floor is
+visible; cumulative CPU steal ≈ 50% of user time per /proc/stat).
 
-Host parallel-capacity ceiling (pure-python burn, no Spark): going
-from {CORES_A} to {CORES_B} processes the host delivers only
-{host['host_capacity_ratio']}x total CPU (nominal {ratio:.0f}x) — the
-nominal 32 "CPUs" are SMT threads on a contended box. Engine scaling
-must be read against that ceiling.
+Host parallel-capacity ceiling (pure-python burn, no Spark):
+{CORES_A} → {CORES_B} processes deliver
+{host['host_capacity_ratio']}x total CPU (nominal {ratio:.0f}x).
+Engine scaling must be read against that ceiling.
 
 Job: key derivation (vectorized MinHash UDF) → blocking (5 rules,
 one equi self-join each, NOT-prev-rule pair dedup) → pairwise scoring
 of blocked pairs AND a deterministic ~10M random-pair sample
 (u-estimation load) → large-star/small-star clustering. F1 gate on
-planted labels.
+planted labels. Run: {stamp}.
 
-| metric | local[{CORES_A}] best | local[{CORES_B}] best | local[{CORES_A}] median | local[{CORES_B}] median |
+| metric | local[{CORES_A}] median | local[{CORES_B}] median | local[{CORES_A}] best | local[{CORES_B}] best |
 |---|---|---|---|---|
-| scored pairs (blocked + sampled) | {r8['total_scored']} | {r32['total_scored']} | — | — |
-| scoring wall (s) | {r8['scoring_sec']} | {r32['scoring_sec']} | {r8['median_scoring_sec']} | {r32['median_scoring_sec']} |
-| **scored-pairs/sec** | **{r8['scored_pairs_per_sec']}** | **{r32['scored_pairs_per_sec']}** | — | — |
-| full pipeline (s) | {r8['pipeline_sec']} | {r32['pipeline_sec']} | — | — |
-| derive_keys (s) | {r8['timings']['derive_keys']} | {r32['timings']['derive_keys']} | {r8['median_timings']['derive_keys']} | {r32['median_timings']['derive_keys']} |
-| block+score fused (s) | {r8['timings']['block_and_score']} | {r32['timings']['block_and_score']} | {r8['median_timings']['block_and_score']} | {r32['median_timings']['block_and_score']} |
-| score sampled (s) | {r8['timings']['score_sampled']} | {r32['timings']['score_sampled']} | {r8['median_timings']['score_sampled']} | {r32['median_timings']['score_sampled']} |
-| cluster (s) | {r8['timings']['cluster']} | {r32['timings']['cluster']} | {r8['median_timings']['cluster']} | {r32['median_timings']['cluster']} |
-| pairwise F1 vs labels | {r8['f1']} | {r32['f1']} | — | — |
+| scored pairs (blocked + sampled) | {ra['total_scored']} | {rb['total_scored']} | — | — |
+| scoring wall (s) | {ra['median_scoring_sec']} | {rb['median_scoring_sec']} | {ra['best_scoring_sec']} | {rb['best_scoring_sec']} |
+| **scored-pairs/sec** | **{ra['median_tp']}** | **{rb['median_tp']}** | {ra['best_tp']} | {rb['best_tp']} |
+| scored-pairs/sec spread (min-max of {repeats}) | {ra['tp_spread'][0]}-{ra['tp_spread'][1]} | {rb['tp_spread'][0]}-{rb['tp_spread'][1]} | — | — |
+| full pipeline (s) | {ra['median_pipeline_sec']} | {rb['median_pipeline_sec']} | {ra['pipeline_sec']} | {rb['pipeline_sec']} |
+| generate corpus (s) | {ra['median_timings']['generate']} | {rb['median_timings']['generate']} | {ra['timings']['generate']} | {rb['timings']['generate']} |
+| derive_keys (s) | {ra['median_timings']['derive_keys']} | {rb['median_timings']['derive_keys']} | {ra['timings']['derive_keys']} | {rb['timings']['derive_keys']} |
+| block+score fused (s) | {ra['median_timings']['block_and_score']} | {rb['median_timings']['block_and_score']} | {ra['timings']['block_and_score']} | {rb['timings']['block_and_score']} |
+| score sampled (s) | {ra['median_timings']['score_sampled']} | {rb['median_timings']['score_sampled']} | {ra['timings']['score_sampled']} | {rb['timings']['score_sampled']} |
+| cluster (s) | {ra['median_timings']['cluster']} | {rb['median_timings']['cluster']} | {ra['timings']['cluster']} | {rb['timings']['cluster']} |
+| pairwise F1 vs labels | {ra['f1']} | {rb['f1']} | — | — |
 
-bench.py at the repo root computes the SAME headline quotient
-((blocked + sampled pairs) / scoring wall) with a smaller default
-sample (SAMPLE_PAIRS=2e6 at sf0.1), so BENCH_r{{N}}.json and this file
-are directly comparable round over round.
+**Scaling efficiency (median scored-pairs/sec, {CORES_A}→{CORES_B}
+cores) = (tp_{CORES_B}/tp_{CORES_A})/{ratio:.0f} = {eff_median:.3f}**
+(best-of-{repeats} efficiency {eff_best:.3f}; median full-pipeline
+efficiency {eff_pipeline:.3f}; target ≥ 0.8 on the scoring path per
+BASELINE.json north rule). Normalised to the host's measured
+parallel-capacity ceiling ({host['host_capacity_ratio']}x), engine
+efficiency = {eff_vs_host:.3f}.
 
-**Scaling efficiency (scored-pairs/sec, {CORES_A}→{CORES_B} cores) =
-(throughput_{CORES_B}/throughput_{CORES_A})/{ratio:.0f} =
-{eff_throughput:.3f}** (full-pipeline efficiency =
-{eff_pipeline:.3f}; target ≥ 0.8 on the scoring path per BASELINE.json
-north rule). Normalised to the host's measured parallel-capacity
-ceiling ({host['host_capacity_ratio']}x), engine efficiency =
-{eff_vs_host:.3f}.
-
-Stage metrics per north rule: pairs generated = {r8['pairs_blocked']},
-pairs scored = {r8['total_scored']}, edges retained =
-{r8['edges_retained']} (threshold 0.5); per-partition lineage is
+Stage metrics per north rule: pairs generated = {ra['pairs_blocked']},
+pairs scored = {ra['total_scored']}, edges retained =
+{ra['edges_retained']} (threshold 0.5); per-partition lineage is
 emitted by the stage manager (splink_spark/plans/stages.py) when the
 pipeline runs checkpointed.
 """
+    history_row = (
+        f"| {stamp} | local[{CORES_A}]→local[{CORES_B}], "
+        f"median-of-{repeats}, pinned | {ra['median_tp']} | "
+        f"{rb['median_tp']} | **{eff_median:.3f}** | {eff_best:.3f} |"
+    )
+
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out_path) as f:
+        doc = f.read()
+    doc = _splice(doc, RESULTS_BEGIN, RESULTS_END, results)
+    doc = doc.replace(HISTORY_END, history_row + "\n" + HISTORY_END)
     with open(out_path, "w") as f:
-        f.write(md)
-    print(f"wrote {out_path}; efficiency={eff_throughput:.3f}")
+        f.write(doc)
+    print(
+        f"wrote {out_path}; median efficiency={eff_median:.3f} "
+        f"(best {eff_best:.3f})"
+    )
 
 
 if __name__ == "__main__":

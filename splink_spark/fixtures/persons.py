@@ -126,3 +126,87 @@ def persons_dataframe(
             "cluster long"
         ),
     )
+
+
+_PERSON_SCHEMA = (
+    "unique_id long, first_name string, surname string, dob string, "
+    "city string, email string, postcode string, cluster long"
+)
+
+
+def _entity_person_rows(
+    e: int, seed: int, max_records: int
+) -> list[tuple]:
+    """All records of one entity from a PER-ENTITY rng — deterministic
+    at any partitioning (same device as distributed_corpus in
+    webpages.py; values differ from the sequential-stream
+    generate_persons, which remains the small-fixture path)."""
+    rng = np.random.default_rng((seed, e))
+    first = _FIRST[int(rng.integers(0, len(_FIRST)))]
+    sur = _SUR[int(rng.integers(0, len(_SUR)))]
+    city = _CITY[int(rng.integers(0, len(_CITY)))]
+    y = int(rng.integers(1950, 2005))
+    m = int(rng.integers(1, 13))
+    d = int(rng.integers(1, 28))
+    email = f"{first}.{sur}{int(rng.integers(1, 99))}@example.com"
+    n_rec = int(rng.integers(1, max_records + 1))
+    rows = []
+    for r in range(n_rec):
+        f, s, c, em = first, sur, city, email
+        yy, mm, dd = y, m, d
+        if r > 0:
+            for _ in range(int(rng.integers(1, 3))):
+                op = int(rng.integers(0, 6))
+                if op == 0:
+                    f = _typo(rng, f)
+                elif op == 1:
+                    s = _typo(rng, s)
+                elif op == 2:
+                    f, s = s, f
+                elif op == 3:
+                    c = None
+                elif op == 4 and mm <= 12 and dd <= 12:
+                    mm, dd = dd, mm
+                else:
+                    em = _typo(rng, em)
+        dob = f"{yy:04d}-{mm:02d}-{dd:02d}"
+        rows.append(
+            (
+                e * max_records + r,  # globally unique, partition-free
+                f, s, dob, c, em, _postcode(e, city, r), e,
+            )
+        )
+    return rows
+
+
+def distributed_persons(
+    spark: SparkSession,
+    n_entities: int = 400_000,
+    seed: int = 42,
+    max_records: int = 4,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Executor-side person-record generation for the 1M-record
+    benchmark: mapInPandas over the entity id range, the driver never
+    holds a row. ~(max_records + 1)/2 records per entity, so 400k
+    entities ≈ 1M records. ``cluster`` is ground truth."""
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 1)
+
+    def gen(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for e in pdf["id"]:
+                rows.extend(
+                    _entity_person_rows(int(e), seed, max_records)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "unique_id", "first_name", "surname", "dob",
+                    "city", "email", "postcode", "cluster",
+                ],
+            )
+
+    return spark.range(0, n_entities, 1, parts).mapInPandas(
+        gen, _PERSON_SCHEMA
+    )
