@@ -1,0 +1,544 @@
+"""Pure-Python Iceberg v2 table layout — metadata JSON + Avro
+manifest lists + Avro manifests per the public Apache Iceberg table
+spec — so the Iceberg path EXECUTES in this sandbox (no
+iceberg-spark-runtime jar ships here; `sources/registry.py` gates the
+catalog path on a JVM probe and stays the production route).
+
+What this implements (spec sections in parentheses):
+
+- table metadata json + ``version-hint.text`` (Spec: Table Metadata);
+- snapshots with manifest lists (Spec: Snapshots), append commits
+  creating a new metadata version that reuses prior manifests;
+- manifest files with per-entry identity partition values
+  (Spec: Manifests), written/read with the from-scratch Avro codec
+  in ``avro_lite.py``;
+- scan planning: snapshot selection (time travel by snapshot id),
+  manifest-list pruning on partition field summaries
+  (lower/upper bounds), manifest-entry pruning on identity partition
+  values, yielding the parquet file list that `spark.read.parquet`
+  loads (Spec: Scan Planning).
+
+Not implemented (documented scope): deletes/overwrites (content=1/2
+files), non-identity transforms, schema evolution, format v3. Write
+path materialises one partition directory per distinct value via a
+filtered Spark write — fine for the fixture scales this sandbox
+tests; a production writer would single-pass ``partitionBy`` and
+commit the emitted files.
+
+reference: n/a (splink has no storage layer; the Iceberg requirement
+comes from the north rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .avro_lite import read_avro, write_avro
+
+_SPARK_TO_ICEBERG = {
+    "long": "long",
+    "bigint": "long",
+    "int": "int",
+    "integer": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamptz",
+}
+
+
+def _iceberg_schema(df: DataFrame) -> dict:
+    fields = []
+    for i, f in enumerate(df.schema.fields, start=1):
+        t = _SPARK_TO_ICEBERG.get(f.dataType.simpleString())
+        if t is None:
+            # nested/array columns are carried opaquely: readable via
+            # the parquet files, but not usable as partition columns
+            t = "binary"
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": t,
+            }
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def _partition_struct_schema(partition_by: list[str], schema: dict):
+    """Avro schema of the manifest entry's partition struct (identity
+    transforms only -> source column types, all nullable strings here:
+    partition values travel as strings, the reader casts on attach)."""
+    return {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {"name": c, "type": ["null", "string"], "default": None}
+            for c in partition_by
+        ],
+    }
+
+
+def _manifest_entry_schema(part_schema: dict) -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "default": None,
+            },
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+            },
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "partition", "type": part_schema},
+                        {"name": "record_count", "type": "long"},
+                        {
+                            "name": "file_size_in_bytes",
+                            "type": "long",
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+
+
+_FIELD_SUMMARY = {
+    "type": "record",
+    "name": "field_summary",
+    "fields": [
+        {"name": "contains_null", "type": "boolean"},
+        {
+            "name": "contains_nan",
+            "type": ["null", "boolean"],
+            "default": None,
+        },
+        {
+            "name": "lower_bound",
+            "type": ["null", "bytes"],
+            "default": None,
+        },
+        {
+            "name": "upper_bound",
+            "type": ["null", "bytes"],
+            "default": None,
+        },
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {"type": "array", "items": _FIELD_SUMMARY},
+            ],
+            "default": None,
+        },
+    ],
+}
+
+
+def _load_metadata(location: str) -> dict:
+    hint = os.path.join(location, "metadata", "version-hint.text")
+    with open(hint) as f:
+        v = int(f.read().strip())
+    with open(
+        os.path.join(location, "metadata", f"v{v}.metadata.json")
+    ) as f:
+        return json.load(f)
+
+
+def _write_metadata(location: str, meta: dict, version: int) -> None:
+    mdir = os.path.join(location, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    with open(
+        os.path.join(mdir, f"v{version}.metadata.json"), "w"
+    ) as f:
+        json.dump(meta, f, indent=2)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+
+
+def _list_parquet_files(d: str) -> list[str]:
+    return sorted(
+        os.path.join(d, f)
+        for f in os.listdir(d)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+
+
+def write_iceberg(
+    df: DataFrame,
+    location: str,
+    partition_by: list[str] | None = None,
+    mode: str = "create",
+) -> int:
+    """Write ``df`` as an iceberg-lite table; returns the new snapshot
+    id. ``mode="create"`` starts v1 metadata; ``mode="append"`` adds a
+    snapshot whose manifest list carries all prior manifests plus one
+    new manifest (spec-conform append commit)."""
+    import pyarrow.parquet as pq
+
+    partition_by = partition_by or []
+    spark = df.sparkSession
+    if mode == "create":
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(
+                uuid.uuid5(uuid.NAMESPACE_URL, location)
+            ),
+            "location": location,
+            "last-sequence-number": 0,
+            "last-updated-ms": int(time.time() * 1000),
+            "last-column-id": len(df.schema.fields),
+            "current-schema-id": 0,
+            "schemas": [_iceberg_schema(df)],
+            "default-spec-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": c,
+                            "transform": "identity",
+                            "source-id": [
+                                f.name for f in df.schema.fields
+                            ].index(c)
+                            + 1,
+                            "field-id": 1000 + i,
+                        }
+                        for i, c in enumerate(partition_by)
+                    ],
+                }
+            ],
+            "last-partition-id": 1000 + len(partition_by) - 1
+            if partition_by
+            else 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {"write.format.default": "parquet"},
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+            "_iceberg_lite_partition_by": partition_by,
+        }
+        version = 0
+        seq = 1
+        prior_manifests: list[dict] = []
+    elif mode == "append":
+        meta = _load_metadata(location)
+        partition_by = meta["_iceberg_lite_partition_by"]
+        hint = os.path.join(
+            location, "metadata", "version-hint.text"
+        )
+        with open(hint) as f:
+            version = int(f.read().strip())
+        seq = meta["last-sequence-number"] + 1
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, prior_manifests = read_avro(cur["manifest-list"])
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    snapshot_id = seq  # deterministic, monotonically increasing
+    # data files: one spark write per partition value (identity
+    # transform; partition columns stay IN the files, as iceberg's
+    # parquet writers also materialise them)
+    data_dir = os.path.join(location, "data")
+    entries = []
+    if partition_by:
+        values = [
+            tuple(r)
+            for r in df.select(*partition_by).distinct().collect()
+        ]
+        for vals in sorted(values, key=lambda t: tuple(map(str, t))):
+            sub = df
+            for c, v in zip(partition_by, vals):
+                sub = sub.filter(
+                    sub[c].isNull()
+                    if v is None
+                    else sub[c] == v
+                )
+            dirname = "/".join(
+                f"{c}={'null' if v is None else v}"
+                for c, v in zip(partition_by, vals)
+            )
+            out_dir = os.path.join(
+                data_dir, f"snap-{snapshot_id}", dirname
+            )
+            sub.write.mode("overwrite").parquet(out_dir)
+            for path in _list_parquet_files(out_dir):
+                pf = pq.ParquetFile(path)
+                entries.append(
+                    {
+                        "status": 1,  # ADDED
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": seq,
+                        "file_sequence_number": seq,
+                        "data_file": {
+                            "content": 0,
+                            "file_path": path,
+                            "file_format": "PARQUET",
+                            "partition": {
+                                c: None if v is None else str(v)
+                                for c, v in zip(partition_by, vals)
+                            },
+                            "record_count": pf.metadata.num_rows,
+                            "file_size_in_bytes": os.path.getsize(
+                                path
+                            ),
+                        },
+                    }
+                )
+    else:
+        out_dir = os.path.join(data_dir, f"snap-{snapshot_id}")
+        df.write.mode("overwrite").parquet(out_dir)
+        for path in _list_parquet_files(out_dir):
+            pf = pq.ParquetFile(path)
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": path,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": pf.metadata.num_rows,
+                        "file_size_in_bytes": os.path.getsize(path),
+                    },
+                }
+            )
+
+    part_schema = _partition_struct_schema(
+        partition_by, _iceberg_schema(df)
+    )
+    manifest_path = os.path.join(
+        location, "metadata", f"manifest-{snapshot_id}.avro"
+    )
+    write_avro(
+        manifest_path, _manifest_entry_schema(part_schema), entries
+    )
+
+    # per-partition-field summaries for manifest-list pruning
+    summaries = []
+    for i, c in enumerate(partition_by):
+        vals = [
+            e["data_file"]["partition"][c]
+            for e in entries
+        ]
+        non_null = sorted(v for v in vals if v is not None)
+        summaries.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": None,
+                "lower_bound": non_null[0].encode()
+                if non_null
+                else None,
+                "upper_bound": non_null[-1].encode()
+                if non_null
+                else None,
+            }
+        )
+    added_rows = sum(
+        e["data_file"]["record_count"] for e in entries
+    )
+    manifest_rec = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": added_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": summaries if partition_by else None,
+    }
+    mlist_path = os.path.join(
+        location, "metadata", f"snap-{snapshot_id}-manifest-list.avro"
+    )
+    write_avro(
+        mlist_path,
+        _MANIFEST_FILE_SCHEMA,
+        prior_manifests + [manifest_rec],
+    )
+
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"].append(
+        {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": int(time.time() * 1000),
+            "summary": {
+                "operation": "append",
+                "added-data-files": str(len(entries)),
+                "added-records": str(added_rows),
+            },
+            "manifest-list": mlist_path,
+            "schema-id": 0,
+        }
+    )
+    meta["snapshot-log"].append(
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": meta["last-updated-ms"],
+        }
+    )
+    _write_metadata(location, meta, version + 1)
+    return snapshot_id
+
+
+def scan_files(
+    location: str,
+    snapshot_id: int | None = None,
+    where: dict[str, str] | None = None,
+) -> tuple[list[str], dict]:
+    """Scan planning: (parquet file list, lineage stats). ``where``
+    is an identity-partition equality filter {col: value}; pruning
+    happens FIRST at the manifest-list level (field summaries:
+    lower/upper bounds + contains_null), then per manifest entry.
+    The stats record how much each pruning level cut — the
+    per-partition lineage the north rule asks every stage to emit."""
+    meta = _load_metadata(location)
+    partition_by = meta["_iceberg_lite_partition_by"]
+    sid = (
+        meta["current-snapshot-id"]
+        if snapshot_id is None
+        else snapshot_id
+    )
+    snap = next(
+        (s for s in meta["snapshots"] if s["snapshot-id"] == sid),
+        None,
+    )
+    if snap is None:
+        raise ValueError(
+            f"snapshot {sid} not found; have "
+            f"{[s['snapshot-id'] for s in meta['snapshots']]}"
+        )
+    _, manifests = read_avro(snap["manifest-list"])
+    stats = {
+        "snapshot_id": sid,
+        "manifests_total": len(manifests),
+        "manifests_scanned": 0,
+        "files_total": 0,
+        "files_selected": 0,
+        "rows_selected": 0,
+    }
+    where = where or {}
+    for c in where:
+        if c not in partition_by:
+            raise ValueError(
+                f"{c!r} is not a partition column {partition_by}"
+            )
+
+    files: list[str] = []
+    for mf in manifests:
+        skip = False
+        if where and mf["partitions"]:
+            for i, c in enumerate(partition_by):
+                if c not in where:
+                    continue
+                s = mf["partitions"][i]
+                v = str(where[c]).encode()
+                lo, hi = s["lower_bound"], s["upper_bound"]
+                if lo is not None and hi is not None and not (
+                    lo <= v <= hi
+                ):
+                    skip = True
+                    break
+        if skip:
+            continue
+        stats["manifests_scanned"] += 1
+        _, entries = read_avro(mf["manifest_path"])
+        for e in entries:
+            stats["files_total"] += 1
+            if e["status"] == 2:  # DELETED
+                continue
+            part = e["data_file"]["partition"]
+            if any(
+                part.get(c) != str(v) for c, v in where.items()
+            ):
+                continue
+            files.append(e["data_file"]["file_path"])
+            stats["files_selected"] += 1
+            stats["rows_selected"] += e["data_file"]["record_count"]
+    return files, stats
+
+
+def read_iceberg(
+    spark: SparkSession,
+    location: str,
+    snapshot_id: int | None = None,
+    where: dict[str, str] | None = None,
+) -> DataFrame:
+    """Load an iceberg-lite table as a DataFrame — current snapshot
+    by default, any historical snapshot via ``snapshot_id`` (time
+    travel), with identity-partition pruning via ``where`` so pruned
+    files are never opened by Spark."""
+    files, _ = scan_files(location, snapshot_id, where)
+    if not files:
+        # empty selection: preserve schema from any snapshot file,
+        # else fail clearly
+        all_files, _ = scan_files(location, snapshot_id)
+        if not all_files:
+            raise ValueError(f"{location}: snapshot has no data files")
+        return spark.read.parquet(all_files[0]).limit(0)
+    return spark.read.parquet(*files)

@@ -55,13 +55,19 @@ class TableRegistry:
 
     ``fmt="parquet"``: ``base`` is a directory of ``<name>.parquet``.
     ``fmt="iceberg"``: ``base`` is a catalog.namespace prefix, tables
-    are ``<base>.<name>``.
+    are ``<base>.<name>`` (needs the runtime jar; see module doc).
+    ``fmt="iceberg_lite"``: ``base`` is a directory of
+    ``<name>/`` iceberg-lite table layouts (pure-Python Iceberg v2
+    metadata + Avro manifests, sources/iceberg_lite.py) — snapshot
+    commits, time travel, and identity-partition pruning execute
+    WITHOUT the runtime jar; the production catalog path remains
+    ``fmt="iceberg"``.
     """
 
     def __init__(
         self, spark: SparkSession, base: str, fmt: str = "parquet"
     ) -> None:
-        if fmt not in ("parquet", "iceberg"):
+        if fmt not in ("parquet", "iceberg", "iceberg_lite"):
             raise ValueError(f"unknown table format {fmt!r}")
         if fmt == "iceberg" and not iceberg_available(
             spark, base.split(".", 1)[0]
@@ -78,11 +84,34 @@ class TableRegistry:
     def read(self, name: str) -> DataFrame:
         if self.fmt == "iceberg":
             return self.spark.read.table(f"{self.base}.{name}")
+        if self.fmt == "iceberg_lite":
+            from .iceberg_lite import read_iceberg
+
+            return read_iceberg(
+                self.spark, os.path.join(self.base, name)
+            )
         return self.spark.read.parquet(
             os.path.join(self.base, f"{name}.parquet")
         )
 
     def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+        if self.fmt == "iceberg_lite":
+            from .iceberg_lite import write_iceberg
+
+            loc = os.path.join(self.base, name)
+            if mode == "overwrite":
+                import shutil
+
+                shutil.rmtree(loc, ignore_errors=True)
+                write_iceberg(df, loc)
+            elif mode == "append":
+                write_iceberg(df, loc, mode="append")
+            else:
+                raise ValueError(
+                    f"unsupported write mode {mode!r} for "
+                    "iceberg_lite tables"
+                )
+            return
         if self.fmt == "iceberg":
             if mode == "overwrite":
                 df.writeTo(f"{self.base}.{name}").createOrReplace()

@@ -1,0 +1,190 @@
+"""iceberg-lite: pure-Python Iceberg v2 layout (metadata JSON + Avro
+manifests) — snapshot commits, time travel, identity-partition
+pruning, and the avro codec underneath (SURVEY §2.4 storage;
+reference: n/a — splink has no storage layer, Iceberg comes from the
+north rule)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from splink_spark.sources.avro_lite import read_avro, write_avro
+from splink_spark.sources.iceberg_lite import (
+    read_iceberg,
+    scan_files,
+    write_iceberg,
+)
+
+
+# ---------------------------------------------------------------------------
+# avro codec
+# ---------------------------------------------------------------------------
+
+AVRO_SCHEMA = {
+    "type": "record",
+    "name": "t",
+    "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "string"], "default": None},
+        {"name": "c", "type": {"type": "array", "items": "long"}},
+        {"name": "d", "type": {"type": "map", "values": "bytes"}},
+        {"name": "e", "type": "double"},
+        {"name": "f", "type": "boolean"},
+        {
+            "name": "g",
+            "type": {
+                "type": "record",
+                "name": "inner",
+                "fields": [{"name": "x", "type": ["null", "long"]}],
+            },
+        },
+    ],
+}
+
+AVRO_RECORDS = [
+    {
+        "a": -(2**53),
+        "b": "héllo",
+        "c": [1, -2, 3],
+        "d": {"k": b"\x00\xff"},
+        "e": 3.5,
+        "f": True,
+        "g": {"x": 7},
+    },
+    {
+        "a": 0,
+        "b": None,
+        "c": [],
+        "d": {},
+        "e": -1e300,
+        "f": False,
+        "g": {"x": None},
+    },
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_round_trip(tmp_path, codec):
+    p = str(tmp_path / f"t_{codec}.avro")
+    write_avro(p, AVRO_SCHEMA, AVRO_RECORDS, codec=codec)
+    schema, records = read_avro(p)
+    assert schema == AVRO_SCHEMA
+    assert records == AVRO_RECORDS
+
+
+def test_avro_empty_file(tmp_path):
+    p = str(tmp_path / "empty.avro")
+    write_avro(p, AVRO_SCHEMA, [])
+    _, records = read_avro(p)
+    assert records == []
+
+
+def test_avro_rejects_garbage(tmp_path):
+    p = str(tmp_path / "bad.avro")
+    with open(p, "wb") as f:
+        f.write(b"not avro at all")
+    with pytest.raises(ValueError):
+        read_avro(p)
+
+
+# ---------------------------------------------------------------------------
+# iceberg-lite table layout
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def table_loc(spark, tmp_path):
+    loc = str(tmp_path / "docs_table")
+    shutil.rmtree(loc, ignore_errors=True)
+    return loc
+
+
+def _docs(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+
+
+def test_create_read_round_trip(spark, table_loc):
+    docs = _docs(spark).filter("doc_id < 50")
+    write_iceberg(docs, table_loc, partition_by=["lang"])
+    back = read_iceberg(spark, table_loc)
+    assert back.count() == docs.count()
+    assert sorted(back.columns) == sorted(docs.columns)
+    # metadata layout is spec-shaped
+    meta_dir = os.path.join(table_loc, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        v = int(f.read())
+    with open(
+        os.path.join(meta_dir, f"v{v}.metadata.json")
+    ) as f:
+        meta = json.load(f)
+    assert meta["format-version"] == 2
+    assert meta["partition-specs"][0]["fields"][0]["transform"] == (
+        "identity"
+    )
+    assert len(meta["snapshots"]) == 1
+
+
+def test_append_and_time_travel(spark, table_loc):
+    docs = _docs(spark)
+    s1 = write_iceberg(
+        docs.filter("doc_id < 60"), table_loc, partition_by=["lang"]
+    )
+    s2 = write_iceberg(
+        docs.filter("doc_id >= 60 AND doc_id < 100"),
+        table_loc,
+        mode="append",
+    )
+    assert s2 > s1
+    assert read_iceberg(spark, table_loc).count() == 100
+    assert (
+        read_iceberg(spark, table_loc, snapshot_id=s1).count() == 60
+    )
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg(spark, table_loc, snapshot_id=999)
+
+
+def test_partition_pruning_cuts_files(spark, table_loc):
+    docs = _docs(spark).filter("doc_id < 100")
+    write_iceberg(docs, table_loc, partition_by=["lang"])
+    files_all, st_all = scan_files(table_loc)
+    files_en, st_en = scan_files(table_loc, where={"lang": "en"})
+    assert st_en["files_selected"] < st_all["files_selected"]
+    assert all("lang=en" in f for f in files_en)
+    pruned = read_iceberg(spark, table_loc, where={"lang": "en"})
+    want = docs.filter("lang = 'en'").count()
+    assert pruned.count() == want
+    assert pruned.select("lang").distinct().collect()[0][0] == "en"
+    # a non-partition column is rejected, not silently unsupported
+    with pytest.raises(ValueError, match="not a partition column"):
+        scan_files(table_loc, where={"source": "x"})
+
+
+def test_scan_stats_are_lineage(spark, table_loc):
+    docs = _docs(spark).filter("doc_id < 80")
+    write_iceberg(docs, table_loc, partition_by=["lang"])
+    _, st = scan_files(table_loc)
+    assert st["rows_selected"] == 80
+    assert st["manifests_total"] == st["manifests_scanned"] == 1
+    assert st["files_selected"] == st["files_total"]
+
+
+def test_registry_iceberg_lite_round_trip(spark, tmp_path):
+    from splink_spark.sources.registry import TableRegistry
+
+    reg = TableRegistry(
+        spark, str(tmp_path / "tables"), fmt="iceberg_lite"
+    )
+    docs = _docs(spark).filter("doc_id < 40")
+    reg.write(docs, "documents")
+    assert reg.read("documents").count() == 40
+    reg.write(
+        _docs(spark).filter("doc_id >= 40 AND doc_id < 70"),
+        "documents",
+        mode="append",
+    )
+    assert reg.read("documents").count() == 70
