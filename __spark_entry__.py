@@ -1281,6 +1281,68 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_lite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iceberg-lite storage loop: documents are committed as an
+    Iceberg v2 table (pure-Python metadata + Avro manifests,
+    sources/iceberg_lite.py) in TWO snapshot commits partitioned by
+    lang, then read back per partition THROUGH scan planning —
+    manifest pruning decides which parquet files Spark opens. The
+    surface carries both the data aggregate (per-lang doc count and
+    char sum, which the oracle recomputes straight from the parquet
+    table) and the lineage the scan reported (rows_selected per
+    partition — must equal the count, proving pruning selected
+    exactly the partition's files across both snapshots).
+    reference: n/a (storage layer is a north-rule addition)."""
+    import shutil
+    import tempfile
+
+    from splink_spark.sources.iceberg_lite import (
+        read_iceberg,
+        scan_files,
+        write_iceberg,
+    )
+
+    docs = _docs(spark, sf_dir)
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        f"splink_spark_iceberg_{abs(hash(sf_dir)) % 10**8}",
+    )
+    shutil.rmtree(loc, ignore_errors=True)
+    write_iceberg(
+        docs.filter(F.col(DOC_UID) % 2 == 0), loc,
+        partition_by=["lang"],
+    )
+    write_iceberg(
+        docs.filter(F.col(DOC_UID) % 2 == 1), loc, mode="append"
+    )
+
+    langs = [
+        r["lang"]
+        for r in docs.select("lang").distinct().collect()
+        if r["lang"] is not None
+    ]
+    parts = []
+    for lang in sorted(langs):
+        pruned = read_iceberg(spark, loc, where={"lang": lang})
+        _, stats = scan_files(loc, where={"lang": lang})
+        parts.append(
+            pruned.agg(
+                F.lit(lang).alias("lang"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(
+                    F.coalesce(F.col("n_chars"), F.lit(0)).cast("long")
+                ).alias("sum_chars"),
+                F.lit(int(stats["rows_selected"]))
+                .cast("long")
+                .alias("rows_selected"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode loop (fake=False end to end): deterministic
     BMP and PNG payloads are synthesized per document — PNGs with
@@ -1405,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "iceberg_lite_scan": q_iceberg_lite_scan,
     }
 
 
@@ -2005,6 +2068,20 @@ def oracle_sql() -> dict[str, str]:
                              * 800 * 2 / 16000)) AS BIGINT)
                         ELSE NULL END AS duration_ms
             FROM documents
+        """,
+        # storage loop: the spark side routed documents through TWO
+        # iceberg-lite snapshot commits and per-partition pruned scans;
+        # the oracle reads the same rows straight from parquet. A wrong
+        # manifest walk, partition filter, or lost row anywhere breaks
+        # n_docs/sum_chars; rows_selected (scan lineage) must equal
+        # n_docs or pruning selected the wrong files
+        "iceberg_lite_scan": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(coalesce(n_chars, 0)) AS BIGINT)
+                       AS sum_chars,
+                   CAST(count(*) AS BIGINT) AS rows_selected
+            FROM documents WHERE lang IS NOT NULL GROUP BY lang
         """,
         # the pixel-value formulas replayed relationally: unnest(range)
         # builds the (x, y) grid per image; the Spark side must recover
