@@ -97,17 +97,48 @@ class StageResult:
 
 
 class StageManager:
-    """Named, content-addressed parquet checkpoints for pipeline stages."""
+    """Named, content-addressed checkpoints for pipeline stages.
 
-    def __init__(self, spark: SparkSession, base_dir: str) -> None:
+    ``fmt="parquet"`` (default) checkpoints each stage as a parquet
+    directory; ``fmt="iceberg_lite"`` commits each stage as an
+    Iceberg v2 table snapshot (sources/iceberg_lite.py) — same
+    resume/lineage semantics, but the checkpoint carries table
+    metadata, so downstream consumers can time-travel and the north
+    rule's "resumes from its last Iceberg/parquet checkpoint" holds
+    for both storage formats."""
+
+    def __init__(
+        self, spark: SparkSession, base_dir: str, fmt: str = "parquet"
+    ) -> None:
+        if fmt not in ("parquet", "iceberg_lite"):
+            raise ValueError(f"unknown checkpoint format {fmt!r}")
         self.spark = spark
         self.base_dir = base_dir
+        self.fmt = fmt
         os.makedirs(base_dir, exist_ok=True)
         self.results: list[StageResult] = []
 
     def _paths(self, name: str, key: str) -> tuple[str, str, str]:
         stem = os.path.join(self.base_dir, f"{name}_{key}")
-        return stem + ".parquet", stem + ".lineage.parquet", stem + ".metrics.json"
+        data = (
+            stem + ".parquet" if self.fmt == "parquet" else stem
+        )
+        return data, stem + ".lineage.parquet", stem + ".metrics.json"
+
+    def _write_data(self, df: DataFrame, path: str) -> None:
+        if self.fmt == "iceberg_lite":
+            from splink_spark.sources.iceberg_lite import write_iceberg
+
+            write_iceberg(df, path)
+        else:
+            df.write.mode("overwrite").parquet(path)
+
+    def _read_data(self, path: str) -> DataFrame:
+        if self.fmt == "iceberg_lite":
+            from splink_spark.sources.iceberg_lite import read_iceberg
+
+            return read_iceberg(self.spark, path)
+        return self.spark.read.parquet(path)
 
     def stage(
         self,
@@ -121,7 +152,7 @@ class StageManager:
         data_path, lineage_path, metrics_path = self._paths(name, content_key)
         t0 = time.time()
         if os.path.exists(metrics_path):
-            df = self.spark.read.parquet(data_path)
+            df = self._read_data(data_path)
             with open(metrics_path) as f:
                 saved = json.load(f)
             self.results.append(
@@ -137,8 +168,8 @@ class StageManager:
             return df.drop(LINEAGE_COLUMN)
 
         df = build().withColumn(LINEAGE_COLUMN, F.spark_partition_id())
-        df.write.mode("overwrite").parquet(data_path)
-        persisted = self.spark.read.parquet(data_path)
+        self._write_data(df, data_path)
+        persisted = self._read_data(data_path)
         lineage = persisted.groupBy(LINEAGE_COLUMN).agg(
             F.count(F.lit(1)).alias("rows")
         )

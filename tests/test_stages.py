@@ -141,3 +141,31 @@ def test_submit_pipeline_resumes_from_checkpoint(tmp_path):
     assert [s["rows"] for s in second["stages"]] == [
         s["rows"] for s in first["stages"]
     ]
+
+
+def test_staged_predict_iceberg_lite_checkpoints(spark, docs, tmp_path):
+    """Same resume semantics with Iceberg-table checkpoints: the
+    second run reads every stage back from its iceberg-lite snapshot
+    (resumed=True throughout) and results match the parquet path."""
+    base = str(tmp_path / "stages_iceberg")
+    mgr = StageManager(spark, base, fmt="iceberg_lite")
+    preds = staged_predict(Linker(docs, _settings()), mgr, 0.5)
+    n1 = preds.count()
+    assert not any(r.resumed for r in mgr.results)
+    # every stage directory is a real iceberg table (metadata json)
+    import os as _os
+
+    stage_dirs = [
+        d for d in _os.listdir(base)
+        if _os.path.isdir(_os.path.join(base, d, "metadata"))
+    ]
+    assert len(stage_dirs) == len(mgr.results)
+
+    mgr2 = StageManager(spark, base, fmt="iceberg_lite")
+    preds2 = staged_predict(Linker(docs, _settings()), mgr2, 0.5)
+    assert preds2.count() == n1
+    assert all(r.resumed for r in mgr2.results)
+
+    mgr3 = StageManager(spark, str(tmp_path / "stages_parquet"))
+    n_pq = staged_predict(Linker(docs, _settings()), mgr3, 0.5).count()
+    assert n_pq == n1
