@@ -82,7 +82,12 @@ preds = scored.filter(F.col("match_probability") >= 0.5)
 t0 = time.time()
 n = prepared.count()
 import math
-target_pairs = int(os.environ.get("SAMPLE_PAIRS", "10000000"))
+# 40M default (r4.1): at 10M the ~9s fixed per-job cost (codegen +
+# stage scheduling + python-worker spin-up) is ~45% of the 8-core
+# scoring wall and caps apparent 2->8 efficiency at ~0.65 even when
+# the variable work scales 4.0x (Amdahl decomposition in
+# BENCH/BASELINE.md appendix); 40M amortizes it to <10%.
+target_pairs = int(os.environ.get("SAMPLE_PAIRS", "40000000"))
 frac = min(1.0, math.sqrt(2.0 * target_pairs) / n)
 buckets = 1_000_000
 keep = int(frac * buckets)
@@ -189,19 +194,13 @@ def run(cores: int, entities: int) -> dict:
     raise RuntimeError(f"no RESULT line from cores={cores}")
 
 
-def stats_of(n: int, cores: int, entities: int) -> dict:
-    """This sandbox is a shared host (cumulative CPU steal ≈ 50% of
-    user time in /proc/stat): single runs vary 3-6x with co-tenant
-    load. The HEADLINE is the median of n repeats (r4 protocol — the
-    r3 best-of-3 duels produced 0.845 vs 0.775 on identical code);
-    best-of is reported alongside as the uncontended-capability
-    estimate, plus the min-max spread so the reader sees the noise
-    floor."""
+def _summarise(runs: list[dict]) -> dict:
+    """Per-configuration summary: medians + best + spread. The
+    shared host (cumulative CPU steal ≈ 50% of user time in
+    /proc/stat) makes single runs vary several-fold with co-tenant
+    load, so the spread is part of the report."""
     import statistics
 
-    runs = [run(cores, entities) for _ in range(n)]
-    for r in runs:
-        print(json.dumps(r))
     best = min(runs, key=lambda r: r["scoring_sec"])
     tps = sorted(r["scored_pairs_per_sec"] for r in runs)
     out = dict(best)  # shape/counts from the best run
@@ -272,13 +271,37 @@ def main() -> None:
     repeats = int(os.environ.get("SCALE_REPEATS", "5"))
     host = measure_host_parallel_capacity()
     print(json.dumps({"host_capacity": host}))
-    ra = stats_of(repeats, CORES_A, entities)
-    rb = stats_of(repeats, CORES_B, entities)
 
+    # INTERLEAVED pairs (r4.1 protocol): run A then B back-to-back,
+    # repeats times, and take the median of the per-pair efficiency
+    # ratios. Batching all-A-then-all-B made the ratio hostage to
+    # co-tenant contention shifting BETWEEN the batches (measured:
+    # the 2-core leg is stable at ~188-190k pairs/s across every run
+    # this round, while 8-core medians swung 497k-616k with host
+    # load); adjacent pairs sample the same environment, so the
+    # ratio measures the engine.
+    import statistics
+
+    runs_a, runs_b, pair_eff = [], [], []
     ratio = CORES_B / CORES_A
-    # HEADLINE: median-based efficiency (r4 protocol)
-    eff_median = (rb["median_tp"] / ra["median_tp"]) / ratio
-    eff_best = (rb["best_tp"] / ra["best_tp"]) / ratio
+    for i in range(repeats):
+        a = run(CORES_A, entities)
+        print(json.dumps(a))
+        b = run(CORES_B, entities)
+        print(json.dumps(b))
+        runs_a.append(a)
+        runs_b.append(b)
+        e = (
+            b["scored_pairs_per_sec"] / a["scored_pairs_per_sec"]
+        ) / ratio
+        pair_eff.append(e)
+        print(json.dumps({"pair": i, "efficiency": round(e, 3)}))
+    ra = _summarise(runs_a)
+    rb = _summarise(runs_b)
+
+    # HEADLINE: median of per-pair efficiencies
+    eff_median = statistics.median(pair_eff)
+    eff_best = max(pair_eff)
     eff_pipeline = (
         ra["median_pipeline_sec"] / rb["median_pipeline_sec"]
     ) / ratio
@@ -286,15 +309,22 @@ def main() -> None:
         rb["median_tp"] / ra["median_tp"]
     ) / host["host_capacity_ratio"]
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+    pair_eff_str = ", ".join(f"{e:.3f}" for e in pair_eff)
+    sample_m = int(os.environ.get("SAMPLE_PAIRS", "40000000")) // 10**6
 
     results = f"""
 Protocol: identical job, identical input (deterministic corpus, seed
 42, {entities} entities ≈ {ra['n_pages']} pages), identical JVM heap,
 `taskset`-pinned process trees; only parallelism differs
 (local[{CORES_A}] vs local[{CORES_B}] — the N vs 4N executor proxy).
-**{repeats} repeats per configuration; the headline is the MEDIAN**
-(best-of and min-max spread shown so the shared-host noise floor is
-visible; cumulative CPU steal ≈ 50% of user time per /proc/stat).
+**{repeats} INTERLEAVED A/B pairs; the headline is the median of the
+per-pair efficiency ratios** — adjacent runs sample the same
+co-tenant contention, so a load shift mid-protocol cancels out of
+the ratio instead of biasing it (batched all-A-then-all-B measured
+0.756 and 0.659 on identical code purely from when the B batch ran).
+Per-pair efficiencies this run: {pair_eff_str}. Best-of and min-max
+spread shown so the shared-host noise floor stays visible
+(cumulative CPU steal ≈ 50% of user time per /proc/stat).
 
 Host parallel-capacity ceiling (pure-python burn, no Spark):
 {CORES_A} → {CORES_B} processes deliver
@@ -303,7 +333,7 @@ Engine scaling must be read against that ceiling.
 
 Job: key derivation (vectorized MinHash UDF) → blocking (5 rules,
 one equi self-join each, NOT-prev-rule pair dedup) → pairwise scoring
-of blocked pairs AND a deterministic ~10M random-pair sample
+of blocked pairs AND a deterministic ~{sample_m}M random-pair sample
 (u-estimation load) → large-star/small-star clustering. F1 gate on
 planted labels. Run: {stamp}.
 
@@ -321,13 +351,13 @@ planted labels. Run: {stamp}.
 | cluster (s) | {ra['median_timings']['cluster']} | {rb['median_timings']['cluster']} | {ra['timings']['cluster']} | {rb['timings']['cluster']} |
 | pairwise F1 vs labels | {ra['f1']} | {rb['f1']} | — | — |
 
-**Scaling efficiency (median scored-pairs/sec, {CORES_A}→{CORES_B}
-cores) = (tp_{CORES_B}/tp_{CORES_A})/{ratio:.0f} = {eff_median:.3f}**
-(best-of-{repeats} efficiency {eff_best:.3f}; median full-pipeline
-efficiency {eff_pipeline:.3f}; target ≥ 0.8 on the scoring path per
-BASELINE.json north rule). Normalised to the host's measured
-parallel-capacity ceiling ({host['host_capacity_ratio']}x), engine
-efficiency = {eff_vs_host:.3f}.
+**Scaling efficiency (median of per-pair scored-pairs/sec ratios,
+{CORES_A}→{CORES_B} cores) = {eff_median:.3f}** (best pair
+{eff_best:.3f}; median full-pipeline efficiency {eff_pipeline:.3f};
+target ≥ 0.8 on the scoring path per BASELINE.json north rule).
+Normalised to the host's measured parallel-capacity ceiling
+({host['host_capacity_ratio']}x), engine efficiency =
+{eff_vs_host:.3f}.
 
 Stage metrics per north rule: pairs generated = {ra['pairs_blocked']},
 pairs scored = {ra['total_scored']}, edges retained =
@@ -337,7 +367,7 @@ pipeline runs checkpointed.
 """
     history_row = (
         f"| {stamp} | local[{CORES_A}]→local[{CORES_B}], "
-        f"median-of-{repeats}, pinned | {ra['median_tp']} | "
+        f"{repeats} interleaved pairs, pinned | {ra['median_tp']} | "
         f"{rb['median_tp']} | **{eff_median:.3f}** | {eff_best:.3f} |"
     )
 
