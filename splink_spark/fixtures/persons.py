@@ -134,6 +134,31 @@ _PERSON_SCHEMA = (
 )
 
 
+def _postcode_wide(entity: int, city: str, r: int) -> str | None:
+    """Full-entropy variant of :func:`_postcode` for the 1M-record
+    benchmark fixture: `_postcode`'s unit/sector/district all reduce
+    to ``entity mod 234`` per city (~2.3k distinct postcodes total),
+    which makes the postcode blocking key quadratic at 1M records
+    (hundreds of rows per key). Here the digits consume successive
+    base-26/9 slices of the entity id, so the space is ~547k values
+    and collisions stay realistic (a few households per postcode).
+    Same corruption ops as `_postcode`."""
+    area = (city[:2] if city else "zz").upper()
+    unit = chr(ord("A") + entity % 26) + chr(
+        ord("A") + (entity // 26) % 26
+    )
+    sector = (entity // 676) % 9 + 1
+    district = (entity // 6084) % 9 + 1
+    if r > 0:
+        if (entity + r) % 7 == 0:
+            return None
+        if (entity + r) % 5 == 0:  # unit typo: sector still equal
+            unit = chr(ord("A") + (entity + r * 3) % 26) + unit[1]
+        elif (entity + r) % 4 == 0:  # district change: area still equal
+            district = district % 9 + 1
+    return f"{area}{district} {sector}{unit}"
+
+
 def _entity_person_rows(
     e: int, seed: int, max_records: int
 ) -> list[tuple]:
@@ -148,7 +173,11 @@ def _entity_person_rows(
     y = int(rng.integers(1950, 2005))
     m = int(rng.integers(1, 13))
     d = int(rng.integers(1, 28))
-    email = f"{first}.{sur}{int(rng.integers(1, 99))}@example.com"
+    # entity-salted digits: email strings are entity-unique BEFORE
+    # corruption (two distinct people almost never share a full
+    # address; the sequential-stream generate_persons keeps its small
+    # colliding space for collision-handling tests)
+    email = f"{first}.{sur}{e}@example.com"
     n_rec = int(rng.integers(1, max_records + 1))
     rows = []
     for r in range(n_rec):
@@ -173,7 +202,7 @@ def _entity_person_rows(
         rows.append(
             (
                 e * max_records + r,  # globally unique, partition-free
-                f, s, dob, c, em, _postcode(e, city, r), e,
+                f, s, dob, c, em, _postcode_wide(e, city, r), e,
             )
         )
     return rows
