@@ -1345,26 +1345,29 @@ def q_iceberg_lite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode loop (fake=False end to end): deterministic
-    BMP and PNG payloads are synthesized per document — PNGs with
+    BMP, PNG and GIF payloads are synthesized per document — PNGs with
     MIXED scanline filters (row y uses filter y % 5, so Sub/Up/
-    Average/Paeth unfiltering all execute) — then decoded back to RGB
-    by the stdlib-only decoders, surfacing integer per-channel pixel
+    Average/Paeth unfiltering all execute), GIFs through the
+    from-scratch LZW codec — then decoded back to RGB by the
+    stdlib-only decoders, surfacing integer per-channel pixel
     sums. The oracle replays the pixel formulas relationally (lateral
-    range joins), so any wrong stride, filter predictor, or channel
-    order breaks the match exactly.
+    range joins), so any wrong stride, filter predictor, LZW code
+    width, or channel order breaks the match exactly.
     reference: n/a (multimodal plumbing is a north-rule addition)."""
     import pandas as pd  # noqa: PLC0415
 
     from splink_spark.multimodal import (
         decode_bmp,
+        decode_gif,
         decode_png,
         make_bmp,
+        make_gif,
         make_png,
     )
 
     docs = (
         _docs(spark, sf_dir)
-        .filter(F.col(DOC_UID) % 4 < 2)
+        .filter(F.col(DOC_UID) % 4 < 3)
         .select(
             F.col(DOC_UID).alias("media_id"),
             F.coalesce(F.col("n_chars"), F.lit(0))
@@ -1382,6 +1385,10 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     codec = "bmp"
                     p = make_bmp(nc % 31 + 1, mid % 17 + 1, seed=mid)
                     rgb = decode_bmp(p)
+                elif mid % 4 == 2:
+                    codec = "gif"
+                    p = make_gif(nc % 19 + 1, mid % 11 + 1, seed=mid)
+                    rgb = decode_gif(p)
                 else:
                     codec = "png"
                     p = make_png(
@@ -2092,16 +2099,18 @@ def oracle_sql() -> dict[str, str]:
             WITH m AS (
                 SELECT {DOC_UID} AS media_id,
                        CAST(coalesce(n_chars, 0) AS BIGINT) AS nc
-                FROM documents WHERE {DOC_UID} % 4 < 2),
+                FROM documents WHERE {DOC_UID} % 4 < 3),
             dims AS (
                 SELECT media_id,
-                       CASE WHEN media_id % 4 = 0
-                            THEN 'bmp' ELSE 'png' END AS codec,
-                       CASE WHEN media_id % 4 = 0
-                            THEN nc % 31 + 1
+                       CASE media_id % 4 WHEN 0 THEN 'bmp'
+                            WHEN 2 THEN 'gif' ELSE 'png' END AS codec,
+                       CASE media_id % 4
+                            WHEN 0 THEN nc % 31 + 1
+                            WHEN 2 THEN nc % 19 + 1
                             ELSE nc % 23 + 1 END AS width,
-                       CASE WHEN media_id % 4 = 0
-                            THEN media_id % 17 + 1
+                       CASE media_id % 4
+                            WHEN 0 THEN media_id % 17 + 1
+                            WHEN 2 THEN media_id % 11 + 1
                             ELSE media_id % 13 + 1 END AS height
                 FROM m),
             px AS (
@@ -2110,23 +2119,26 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, unnest(range(height)) AS y FROM px),
             vals AS (
                 SELECT media_id, codec, width, height,
-                       CASE WHEN codec = 'bmp'
-                            THEN (x + 2 * y + media_id) % 256
-                            ELSE (3 * x + y + media_id) % 256
+                       CASE WHEN codec = 'png'
+                            THEN (3 * x + y + media_id) % 256
+                            ELSE (x + 2 * y + media_id) % 256
                        END AS base
                 FROM pxy)
             SELECT media_id, codec,
                    CAST(width AS BIGINT) AS width,
                    CAST(height AS BIGINT) AS height,
-                   CAST(sum(CASE WHEN codec = 'bmp'
+                   CAST(sum(CASE codec WHEN 'bmp'
                             THEN (base + 170) % 256
+                            WHEN 'gif' THEN base
                             ELSE base END) AS BIGINT) AS sum_r,
-                   CAST(sum(CASE WHEN codec = 'bmp'
+                   CAST(sum(CASE codec WHEN 'bmp'
                             THEN (base + 85) % 256
+                            WHEN 'gif' THEN (base + 85) % 256
                             ELSE (base + 60) % 256 END) AS BIGINT)
                        AS sum_g,
-                   CAST(sum(CASE WHEN codec = 'bmp'
+                   CAST(sum(CASE codec WHEN 'bmp'
                             THEN base
+                            WHEN 'gif' THEN (base + 170) % 256
                             ELSE (base + 120) % 256 END) AS BIGINT)
                        AS sum_b
             FROM vals

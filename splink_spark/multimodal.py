@@ -1,9 +1,10 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-Header parsing and uncompressed-BMP pixel decoding are REAL —
+Header parsing and BMP / PNG / GIF pixel decoding are REAL —
 pure-Python struct readers for the published PNG / BMP / GIF / RIFF-WAV
-container layouts, no codec libraries needed. Compressed codecs (JPEG,
+container layouts plus stdlib-zlib PNG unfiltering and a from-scratch
+GIF LZW codec, no codec libraries needed. Remaining codecs (JPEG,
 MP3, H.264, ...) require libraries absent from this container:
 ``decode_image`` raises NotImplementedError for those unless
 ``fake=True``, in which case a deterministic fake decoder (md5-seeded)
@@ -246,6 +247,158 @@ def decode_png(payload: bytes) -> np.ndarray:
     return px[:, :, :3].copy()
 
 
+# GIF LZW (spec: GIF89a appendix F) — variable-width codes packed
+# LSB-first; encoder bumps width at next_code == (1<<width)+1, decoder
+# at next_code == (1<<width): the one-step offset matches the decoder's
+# lagging table build. Both freeze the table at 4096 (deferred clear).
+
+_GIF_MAX_CODE = 4096
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int = 8) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    it = iter(int(i) for i in indices)
+    prefix = next(it)
+    for k in it:
+        if (prefix, k) in table:
+            prefix = table[(prefix, k)]
+            continue
+        emit(prefix)
+        if next_code < _GIF_MAX_CODE:
+            table[(prefix, k)] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        prefix = k
+    emit(prefix)
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(
+    data: bytes, min_code_size: int, n_pixels: int
+) -> np.ndarray:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh_table() -> list[bytes]:
+        # slots for clear/eoi keep len(table) == next free code
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh_table()
+    width = min_code_size + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    out = bytearray()
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = fresh_table()
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and code not in (clear, eoi):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK case
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < _GIF_MAX_CODE:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """REAL decode of a single-frame non-interlaced GIF87a/89a into an
+    (h, w, 3) uint8 RGB array — pure-Python chunk walk + from-scratch
+    variable-width LZW (stdlib only). Global or local color table;
+    interlaced frames raise ValueError."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    flags = payload[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = np.frombuffer(
+            payload, dtype=np.uint8, count=n * 3, offset=pos
+        ).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label then sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _left, _top, w, h = struct.unpack("<HHHH", payload[pos + 1:pos + 9])
+        iflags = payload[pos + 9]
+        pos += 10
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        if iflags & 0x80:  # local color table wins
+            n = 2 << (iflags & 0x07)
+            palette = np.frombuffer(
+                payload, dtype=np.uint8, count=n * 3, offset=pos
+            ).reshape(n, 3)
+            pos += n * 3
+        if palette is None:
+            raise ValueError("GIF frame without a color table")
+        min_code_size = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while payload[pos] != 0:
+            size = payload[pos]
+            lzw += payload[pos + 1:pos + 1 + size]
+            pos += 1 + size
+        idx = _lzw_decode(bytes(lzw), min_code_size, w * h)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data short")
+        return palette[idx.reshape(h, w)].copy()
+    raise ValueError("GIF contains no image frame")
+
+
 def _image_features(rgb: np.ndarray, dim: int = _FEATURE_DIM) -> np.ndarray:
     """Fixed-width features from decoded pixels: dims, aspect, overall
     + per-quadrant channel means (deterministic, test-assertable)."""
@@ -268,9 +421,10 @@ def _image_features(rgb: np.ndarray, dim: int = _FEATURE_DIM) -> np.ndarray:
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode + featurize an image payload.
 
-    Uncompressed 24-bit BMP and 8-bit non-interlaced PNG decode for
-    REAL (header + numpy + stdlib zlib, see decode_bmp / decode_png).
-    Remaining codecs (JPEG, palette/16-bit PNG, GIF frames, ...) need
+    Uncompressed 24-bit BMP, 8-bit non-interlaced PNG and single-frame
+    GIF decode for REAL (header + numpy + stdlib zlib + from-scratch
+    LZW, see decode_bmp / decode_png / decode_gif). Remaining codecs
+    (JPEG, palette/16-bit PNG, animated GIF, ...) need
     libraries absent from this container: NotImplementedError unless
     ``fake=True``, which substitutes the deterministic md5-seeded
     pseudo-decoder."""
@@ -286,12 +440,18 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         except (ValueError, struct.error, zlib.error):
             if not fake:
                 raise
+    if payload and payload[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            return _image_features(decode_gif(payload))
+        except (ValueError, struct.error, IndexError):
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
             "decoding this format requires an imaging library not "
             "present in this environment; pass fake=True for the "
-            "deterministic stub (uncompressed 24-bit BMP and 8-bit "
-            "PNG decode for real)"
+            "deterministic stub (uncompressed 24-bit BMP, 8-bit PNG "
+            "and single-frame GIF decode for real)"
         )
     return _fake_features(payload)
 
@@ -403,11 +563,29 @@ def make_wav(
     )
 
 
-def make_gif(width: int, height: int) -> bytes:
-    """Minimal GIF89a header + logical screen descriptor + trailer —
-    enough container structure for metadata parsing (no frame data)."""
+def make_gif(width: int, height: int, seed: int = 0) -> bytes:
+    """Valid single-frame GIF89a with a 256-entry global color table
+    (palette[i] = (i, (i+85)%256, (i+170)%256) RGB) and REAL
+    LZW-compressed pixel indices (index = (x + 2*y + seed) % 256),
+    emitted in ≤255-byte sub-blocks by the from-scratch encoder."""
+    pal = np.arange(256, dtype=np.uint8)
+    palette = np.stack([pal, pal + 85, pal + 170], axis=-1)
+    y_idx, x_idx = np.mgrid[0:height, 0:width]
+    indices = ((x_idx + 2 * y_idx + seed) % 256).astype(np.uint8)
+    lzw = _lzw_encode(indices.reshape(-1), min_code_size=8)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
     return (
-        b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00;"
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + b"\xf7\x00\x00"  # GCT present, 256 entries
+        + palette.tobytes()
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        + b"\x08"  # LZW min code size
+        + bytes(blocks)
+        + b"\x00;"
     )
 
 

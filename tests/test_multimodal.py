@@ -201,3 +201,79 @@ def test_extract_features_real_png_spark(spark):
     for i in range(6):
         assert by_id[i][0] == pytest.approx(4.0 + i)
         assert by_id[i][1] == pytest.approx(3.0 + i)
+
+
+# ---------------------------------------------------------------------------
+# GIF LZW codec (from-scratch, multimodal.py::decode_gif/_lzw_*)
+# ---------------------------------------------------------------------------
+
+def test_gif_roundtrip_known_pixels():
+    from splink_spark.multimodal import decode_gif
+
+    for w, h, seed in [(1, 1, 0), (5, 3, 7), (32, 17, 123), (50, 40, 9)]:
+        rgb = decode_gif(make_gif(w, h, seed=seed))
+        assert rgb.shape == (h, w, 3)
+        y, x = np.mgrid[0:h, 0:w]
+        idx = (x + 2 * y + seed) % 256
+        exp = np.stack(
+            [idx, (idx + 85) % 256, (idx + 170) % 256], axis=-1
+        ).astype(np.uint8)
+        np.testing.assert_array_equal(rgb, exp)
+
+
+def test_gif_lzw_table_overflow_roundtrip():
+    """128x128 random indices grow the LZW table past 4096 entries,
+    exercising the frozen-table (deferred-clear) path in both codecs."""
+    from splink_spark.multimodal import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 256, 128 * 128, dtype=np.uint8)
+    dec = _lzw_decode(_lzw_encode(noise), 8, len(noise))
+    np.testing.assert_array_equal(dec, noise)
+
+
+def test_decode_gif_independent_vector():
+    """Externally-produced 43-byte 1x1 white GIF (the classic tracking
+    pixel, min code size 2, graphic-control extension present) — an
+    independent witness that the decoder matches the published spec,
+    not just our own encoder."""
+    from splink_spark.multimodal import decode_gif
+
+    b = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+        b"!\xf9\x04\x01\x00\x00\x00\x00"
+        b",\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;"
+    )
+    rgb = decode_gif(b)
+    assert rgb.shape == (1, 1, 3)
+    assert rgb[0, 0].tolist() == [255, 255, 255]
+
+
+def test_decode_gif_rejects_bad_inputs():
+    from splink_spark.multimodal import decode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"not a gif")
+    # interlace flag set on the image descriptor
+    p = bytearray(make_gif(4, 4))
+    desc = 13 + 768  # header + LSD + 256-entry GCT
+    assert p[desc] == 0x2C
+    p[desc + 9] |= 0x40
+    with pytest.raises(ValueError):
+        decode_gif(bytes(p))
+
+
+def test_decode_image_gif_branch():
+    feats = decode_image(make_gif(9, 4, seed=2))
+    assert feats[0] == 9.0 and feats[1] == 4.0
+    # corrupt LZW stream + fake=False raises, fake=True falls back
+    p = bytearray(make_gif(9, 4, seed=2))
+    p[-10] ^= 0xFF
+    try:
+        decode_image(bytes(p))
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+    f = decode_image(bytes(p), fake=True)
+    assert len(f) == 16
