@@ -480,6 +480,91 @@ class Linker:
             v, self.settings, uid=self.settings.uid
         )
 
+    # -- chart specs (Vega-Lite dicts; see splink_spark/charts.py) --------
+
+    def match_weights_chart(self) -> dict:
+        """reference: splink/linker.py::Linker.match_weights_chart."""
+        from splink_spark.charts import match_weights_chart
+
+        return match_weights_chart(self.settings)
+
+    def m_u_parameters_chart(self) -> dict:
+        """reference: splink/linker.py::Linker.m_u_parameters_chart."""
+        from splink_spark.charts import m_u_parameters_chart
+
+        return m_u_parameters_chart(self.settings)
+
+    def waterfall_chart(self, breakdown: DataFrame) -> dict:
+        """Waterfall for ONE pair's match_weight_breakdown rows.
+        reference: splink/linker.py::Linker.waterfall_chart."""
+        from splink_spark.charts import waterfall_chart
+
+        return waterfall_chart(breakdown)
+
+    def roc_chart_from_labels(self, labels: DataFrame) -> dict:
+        """reference: splink/linker.py::Linker.roc_chart_from_labels."""
+        from splink_spark.charts import roc_chart
+
+        return roc_chart(self.truth_space_table(labels))
+
+    def precision_recall_chart_from_labels(
+        self, labels: DataFrame
+    ) -> dict:
+        """reference: splink/linker.py::
+        Linker.precision_recall_chart_from_labels."""
+        from splink_spark.charts import precision_recall_chart
+
+        return precision_recall_chart(self.truth_space_table(labels))
+
+    def unlinkables_chart(self) -> dict:
+        """reference: splink/linker.py::Linker.unlinkables_chart."""
+        from splink_spark.charts import unlinkables_chart
+
+        return unlinkables_chart(self.unlinkables())
+
+    def missingness_chart(
+        self, columns: list[str] | None = None
+    ) -> dict:
+        """reference: splink/linker.py::Linker.missingness_chart."""
+        from splink_spark.charts import missingness_chart
+
+        return missingness_chart(self.missingness_report(columns))
+
+    def comparison_viewer_chart(self) -> dict:
+        """reference: splink/linker.py::
+        Linker.comparison_viewer_dashboard (pattern distribution)."""
+        from splink_spark.charts import comparison_viewer_chart
+
+        return comparison_viewer_chart(
+            self.comparison_viewer_data(), self.settings
+        )
+
+    def cluster_studio_html(
+        self,
+        predictions: DataFrame,
+        clusters: DataFrame,
+        max_clusters: int = 50,
+    ) -> str:
+        """Self-contained cluster-inspector HTML page. reference:
+        splink/linker.py::Linker.cluster_studio_dashboard."""
+        from splink_spark.charts import cluster_studio_html
+        from splink_spark.operators.cluster import cluster_metrics
+
+        uid = self.settings.uid
+        return cluster_studio_html(
+            clusters,
+            predictions,
+            cluster_metrics(
+                predictions,
+                clusters,
+                src=f"{uid}_l",
+                dst=f"{uid}_r",
+                uid=uid,
+            ),
+            uid=uid,
+            max_clusters=max_clusters,
+        )
+
     # -- model io ----------------------------------------------------------
 
     def save_model_to_json(self, path: str) -> None:
