@@ -18,12 +18,20 @@ What this implements (spec sections in parentheses):
   values, yielding the parquet file list that `spark.read.parquet`
   loads (Spec: Scan Planning).
 
-Not implemented (documented scope): deletes/overwrites (content=1/2
-files), non-identity transforms, schema evolution, format v3. Write
-path materialises one partition directory per distinct value via a
-filtered Spark write — fine for the fixture scales this sandbox
-tests; a production writer would single-pass ``partitionBy`` and
-commit the emitted files.
+- dynamic-partition overwrite commits (Spec: Snapshots, operation
+  ``overwrite``): partitions present in the incoming frame are
+  replaced at file granularity — affected manifests are rewritten
+  with the replaced entries as status=2 DELETED and survivors as
+  status=0 EXISTING, untouched manifests are carried forward, and
+  prior snapshots still time-travel to the pre-overwrite data.
+
+Not implemented (documented scope): row-level delete files
+(content=1/2 — deletes here are file-granular via partition
+overwrite), non-identity transforms, schema evolution, format v3.
+Write path materialises one partition directory per distinct value
+via a filtered Spark write — fine for the fixture scales this
+sandbox tests; a production writer would single-pass ``partitionBy``
+and commit the emitted files.
 
 reference: n/a (splink has no storage layer; the Iceberg requirement
 comes from the north rule).
@@ -212,6 +220,37 @@ def _list_parquet_files(d: str) -> list[str]:
     )
 
 
+def _partition_summaries(
+    entries: list[dict], partition_by: list[str]
+) -> list[dict] | None:
+    """Per-partition-field lower/upper-bound summaries for
+    manifest-list pruning, computed over the LIVE entries of one
+    manifest (deleted entries are skipped post-read anyway, so bounds
+    over survivors keep pruning exact)."""
+    if not partition_by:
+        return None
+    live = [e for e in entries if e["status"] != 2]
+    if not live:
+        return None
+    summaries = []
+    for c in partition_by:
+        vals = [e["data_file"]["partition"][c] for e in live]
+        non_null = sorted(v for v in vals if v is not None)
+        summaries.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": None,
+                "lower_bound": non_null[0].encode()
+                if non_null
+                else None,
+                "upper_bound": non_null[-1].encode()
+                if non_null
+                else None,
+            }
+        )
+    return summaries
+
+
 def write_iceberg(
     df: DataFrame,
     location: str,
@@ -221,7 +260,12 @@ def write_iceberg(
     """Write ``df`` as an iceberg-lite table; returns the new snapshot
     id. ``mode="create"`` starts v1 metadata; ``mode="append"`` adds a
     snapshot whose manifest list carries all prior manifests plus one
-    new manifest (spec-conform append commit)."""
+    new manifest (spec-conform append commit);
+    ``mode="overwrite_partitions"`` is a dynamic-partition overwrite:
+    every partition value present in ``df`` is replaced (on an
+    unpartitioned table the whole table is replaced) — prior files in
+    those partitions are marked DELETED in rewritten manifests, and
+    earlier snapshots still read the pre-overwrite data."""
     import pyarrow.parquet as pq
 
     partition_by = partition_by or []
@@ -271,7 +315,7 @@ def write_iceberg(
         version = 0
         seq = 1
         prior_manifests: list[dict] = []
-    elif mode == "append":
+    elif mode in ("append", "overwrite_partitions"):
         meta = _load_metadata(location)
         partition_by = meta["_iceberg_lite_partition_by"]
         hint = os.path.join(
@@ -371,26 +415,99 @@ def write_iceberg(
         manifest_path, _manifest_entry_schema(part_schema), entries
     )
 
-    # per-partition-field summaries for manifest-list pruning
-    summaries = []
-    for i, c in enumerate(partition_by):
-        vals = [
-            e["data_file"]["partition"][c]
+    # dynamic-partition overwrite: rewrite every prior manifest that
+    # holds a replaced partition — survivors become status=0 EXISTING
+    # (sequence numbers preserved per the spec's inheritance rules),
+    # replaced entries become status=2 DELETED stamped with this
+    # snapshot. Untouched manifests carry forward byte-identical, so
+    # the commit cost scales with the partitions touched, not the
+    # table size.
+    deleted_files = deleted_rows = 0
+    if mode == "overwrite_partitions":
+        new_parts = {
+            tuple(
+                e["data_file"]["partition"].get(c)
+                for c in partition_by
+            )
             for e in entries
-        ]
-        non_null = sorted(v for v in vals if v is not None)
-        summaries.append(
-            {
-                "contains_null": any(v is None for v in vals),
-                "contains_nan": None,
-                "lower_bound": non_null[0].encode()
-                if non_null
-                else None,
-                "upper_bound": non_null[-1].encode()
-                if non_null
-                else None,
-            }
-        )
+        }
+        rewritten: list[dict] = []
+        for mi, mf in enumerate(prior_manifests):
+            _, old_entries = read_avro(mf["manifest_path"])
+            live = [e for e in old_entries if e["status"] != 2]
+            def _hit(e):
+                if not partition_by:
+                    return True  # unpartitioned overwrite = replace all
+                return (
+                    tuple(
+                        e["data_file"]["partition"].get(c)
+                        for c in partition_by
+                    )
+                    in new_parts
+                )
+            if not any(_hit(e) for e in live):
+                rewritten.append(mf)
+                continue
+            out_entries = []
+            mf_deleted_files = mf_deleted_rows = 0
+            for e in live:
+                ne = {**e, "data_file": dict(e["data_file"])}
+                if _hit(e):
+                    ne["status"] = 2  # DELETED
+                    ne["snapshot_id"] = snapshot_id
+                    mf_deleted_files += 1
+                    mf_deleted_rows += e["data_file"]["record_count"]
+                else:
+                    ne["status"] = 0  # EXISTING
+                out_entries.append(ne)
+            deleted_files += mf_deleted_files
+            deleted_rows += mf_deleted_rows
+            rw_path = os.path.join(
+                location,
+                "metadata",
+                f"manifest-{snapshot_id}-rw{mi}.avro",
+            )
+            write_avro(
+                rw_path,
+                _manifest_entry_schema(part_schema),
+                out_entries,
+            )
+            survivors = [
+                e for e in out_entries if e["status"] != 2
+            ]
+            rewritten.append(
+                {
+                    "manifest_path": rw_path,
+                    "manifest_length": os.path.getsize(rw_path),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": min(
+                        (
+                            e["sequence_number"]
+                            for e in out_entries
+                            if e["sequence_number"] is not None
+                        ),
+                        default=seq,
+                    ),
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": 0,
+                    "existing_files_count": len(survivors),
+                    "deleted_files_count": mf_deleted_files,
+                    "added_rows_count": 0,
+                    "existing_rows_count": sum(
+                        e["data_file"]["record_count"]
+                        for e in survivors
+                    ),
+                    "deleted_rows_count": mf_deleted_rows,
+                    "partitions": _partition_summaries(
+                        out_entries, partition_by
+                    ),
+                }
+            )
+        prior_manifests = rewritten
+
+    summaries = _partition_summaries(entries, partition_by)
     added_rows = sum(
         e["data_file"]["record_count"] for e in entries
     )
@@ -428,9 +545,13 @@ def write_iceberg(
             "sequence-number": seq,
             "timestamp-ms": int(time.time() * 1000),
             "summary": {
-                "operation": "append",
+                "operation": "overwrite"
+                if mode == "overwrite_partitions"
+                else "append",
                 "added-data-files": str(len(entries)),
                 "added-records": str(added_rows),
+                "deleted-data-files": str(deleted_files),
+                "deleted-records": str(deleted_rows),
             },
             "manifest-list": mlist_path,
             "schema-id": 0,

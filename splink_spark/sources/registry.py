@@ -104,8 +104,8 @@ class TableRegistry:
 
                 shutil.rmtree(loc, ignore_errors=True)
                 write_iceberg(df, loc)
-            elif mode == "append":
-                write_iceberg(df, loc, mode="append")
+            elif mode in ("append", "overwrite_partitions"):
+                write_iceberg(df, loc, mode=mode)
             else:
                 raise ValueError(
                     f"unsupported write mode {mode!r} for "

@@ -188,3 +188,121 @@ def test_registry_iceberg_lite_round_trip(spark, tmp_path):
         mode="append",
     )
     assert reg.read("documents").count() == 70
+
+
+# ---------------------------------------------------------------------------
+# dynamic-partition overwrite commits
+# ---------------------------------------------------------------------------
+
+def test_overwrite_partition_replaces_only_touched(
+    spark, table_loc
+):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark).filter("doc_id < 100")
+    s1 = write_iceberg(docs, table_loc, partition_by=["lang"])
+    langs = [
+        r[0]
+        for r in docs.select("lang").distinct().collect()
+    ]
+    target = sorted(langs)[0]
+    n_target_before = docs.filter(F.col("lang") == target).count()
+    n_other = docs.filter(F.col("lang") != target).count()
+
+    # replace the target partition with a 3-row frame
+    repl = (
+        docs.filter(F.col("lang") == target)
+        .limit(3)
+        .withColumn("source", F.lit("recrawl"))
+        .drop("source")  # keep schema identical
+    )
+    s2 = write_iceberg(
+        repl, table_loc, mode="overwrite_partitions"
+    )
+    assert s2 > s1
+
+    cur = read_iceberg(spark, table_loc)
+    assert cur.filter(F.col("lang") == target).count() == 3
+    assert cur.filter(F.col("lang") != target).count() == n_other
+    # time travel still sees the pre-overwrite partition
+    old = read_iceberg(spark, table_loc, snapshot_id=s1)
+    assert (
+        old.filter(F.col("lang") == target).count()
+        == n_target_before
+    )
+    # snapshot summary records the overwrite + its deleted counts
+    meta_dir = os.path.join(table_loc, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        v = int(f.read())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as f:
+        meta = json.load(f)
+    snap = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == s2
+    )
+    assert snap["summary"]["operation"] == "overwrite"
+    assert int(snap["summary"]["deleted-records"]) == (
+        n_target_before
+    )
+
+
+def test_overwrite_scan_stats_skip_deleted_files(spark, table_loc):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark).filter("doc_id < 100")
+    write_iceberg(docs, table_loc, partition_by=["lang"])
+    target = sorted(
+        r[0] for r in docs.select("lang").distinct().collect()
+    )[0]
+    repl = docs.filter(F.col("lang") == target).limit(2)
+    write_iceberg(repl, table_loc, mode="overwrite_partitions")
+    files, st = scan_files(table_loc)
+    # deleted entries are walked (files_total) but never selected
+    assert st["files_total"] > st["files_selected"]
+    assert not any(f"snap-1" in f and f"lang={target}" in f for f in files)
+    # pruning to an untouched partition still works post-rewrite
+    other = sorted(
+        r[0] for r in docs.select("lang").distinct().collect()
+    )[-1]
+    if other != target:
+        f2, st2 = scan_files(table_loc, where={"lang": other})
+        assert all(f"lang={other}" in f for f in f2)
+        assert st2["files_selected"] >= 1
+
+
+def test_overwrite_unpartitioned_replaces_whole_table(
+    spark, table_loc
+):
+    docs = _docs(spark)
+    s1 = write_iceberg(docs.filter("doc_id < 50"), table_loc)
+    s2 = write_iceberg(
+        docs.filter("doc_id >= 90 AND doc_id < 95"),
+        table_loc,
+        mode="overwrite_partitions",
+    )
+    assert read_iceberg(spark, table_loc).count() == 5
+    assert (
+        read_iceberg(spark, table_loc, snapshot_id=s1).count() == 50
+    )
+    # append after overwrite stacks on the overwritten state
+    write_iceberg(
+        docs.filter("doc_id >= 95 AND doc_id < 98"),
+        table_loc,
+        mode="append",
+    )
+    assert read_iceberg(spark, table_loc).count() == 8
+
+
+def test_registry_overwrite_partitions_mode(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from splink_spark.sources.registry import TableRegistry
+
+    reg = TableRegistry(
+        spark, str(tmp_path / "tables"), fmt="iceberg_lite"
+    )
+    docs = _docs(spark).filter("doc_id < 60")
+    reg.write(docs, "documents")  # unpartitioned create
+    reg.write(
+        docs.limit(7), "documents", mode="overwrite_partitions"
+    )
+    assert reg.read("documents").count() == 7
