@@ -1211,6 +1211,65 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_webtext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule per-row invariant as a driver row: wrap each document
+    in the Common-Crawl-style html container (binary), run the REAL
+    extraction + blocking-key functions (operators/webtext.py,
+    functions/text.py), and emit byte-identity vs the stored text plus
+    the url-domain and normalized-title blocking keys. The oracle
+    re-parses the SAME constructed html with DuckDB's own regex engine
+    (RE2) — a cross-engine check of the extraction semantics (DOTALL,
+    non-greedy, utf-8 hashing), not a formula replay.
+
+    reference: splink has no parser; the invariant is BASELINE.json
+    input_hint ("byte-identical extracted text per url").
+    """
+    from splink_spark.functions.text import normalized_title_key, url_domain
+    from splink_spark.operators.webtext import (
+        extract_text_from_html,
+        extract_title_from_html,
+    )
+
+    docs = _docs(spark, sf_dir)
+    uid = F.col(DOC_UID)
+    title = F.concat_ws(
+        " ", F.lit("Doc"), uid.cast("string"), F.upper("source"), F.lit("#1!")
+    )
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+        (uid % 3 + 1).cast("int"),
+    )
+    pages = docs.select(
+        uid.alias(DOC_UID),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example."), tld,
+            F.lit("/doc/"), uid.cast("string"),
+        ).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><title>"), title,
+                F.lit("</title><body>"), F.col("text"),
+                F.lit("</body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        "text",
+    )
+    return pages.select(
+        DOC_UID,
+        url_domain("url").alias("bk_domain"),
+        normalized_title_key(extract_title_from_html("html")).alias(
+            "bk_title"
+        ),
+        F.md5(F.encode(extract_text_from_html("html"), "UTF-8")).alias(
+            "text_md5"
+        ),
+        (extract_text_from_html("html") == F.col("text")).alias(
+            "byte_identical"
+        ),
+    )
+
+
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary plumbing with the stubbed (deterministic-fake) decoder.
     The UDF emits md5(payload) computed INSIDE Python — the oracle
@@ -1471,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
+        "webtext_extract": q_webtext_extract,
         "multimodal_features": q_multimodal,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
@@ -2208,7 +2268,43 @@ def oracle_sql() -> dict[str, str]:
             f"greatest({token_count_sql('text')}, 1) AS stopword_ratio "
             f"FROM documents"
         ),
+        "webtext_extract": _webtext_extract_sql(),
     }
+
+
+def _webtext_extract_sql() -> str:
+    """DuckDB replay of q_webtext_extract: constructs the SAME html
+    wrapper, then re-extracts with RE2 — cross-engine extraction check."""
+    from splink_spark.functions.text import normalize_text_sql, url_domain_sql
+
+    title_norm = normalize_text_sql("title_x")
+    return f"""
+        WITH pages AS (
+            SELECT {DOC_UID},
+                   'https://' || source || '.example.' ||
+                       (['com','org','net'])[CAST({DOC_UID} % 3 + 1 AS INTEGER)] ||
+                       '/doc/' || CAST({DOC_UID} AS VARCHAR) AS url,
+                   '<html><title>' ||
+                       concat_ws(' ', 'Doc', CAST({DOC_UID} AS VARCHAR),
+                                 upper(source), '#1!') ||
+                       '</title><body>' || text || '</body></html>' AS html,
+                   text
+            FROM documents
+        ), ex AS (
+            SELECT {DOC_UID}, url, text,
+                   regexp_extract(html, '(?s)<title>(.*?)</title>', 1)
+                       AS title_x,
+                   regexp_extract(html, '(?s)<body>(.*)</body>', 1)
+                       AS text_x
+            FROM pages
+        )
+        SELECT {DOC_UID},
+               {url_domain_sql('url')} AS bk_domain,
+               regexp_replace({title_norm}, '\\s', '', 'g') AS bk_title,
+               md5(text_x) AS text_md5,
+               text_x = text AS byte_identical
+        FROM ex
+    """
 
 
 def _stopword_share_sql(lang: str) -> str:
