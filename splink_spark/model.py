@@ -215,6 +215,12 @@ class BlockingRule:
     rule: str
     salting_partitions: int = 1
     sql_rule: str | None = None  # DuckDB-dialect override for oracles
+    # Skew governor: blocks whose key count exceeds this take a
+    # broadcast join path instead of the shuffle hash join (0 = off).
+    # Salting splits a hot block across shuffle keys; this removes the
+    # hot block from the shuffle entirely — the north rule's "broadcast
+    # threshold on oversized blocks" for popular-domain pathologies.
+    broadcast_hot_keys_above: int = 0
 
     @property
     def oracle_rule(self) -> str:
@@ -225,6 +231,7 @@ class BlockingRule:
             "rule": self.rule,
             "salting_partitions": self.salting_partitions,
             "sql_rule": self.sql_rule,
+            "broadcast_hot_keys_above": self.broadcast_hot_keys_above,
         }
 
     @classmethod

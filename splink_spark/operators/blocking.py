@@ -82,6 +82,185 @@ def rule_has_equi_component(rule: str) -> bool:
     return bool(_EQUI_RE.search(rule))
 
 
+def _top_level_conjuncts(rule: str) -> list[str] | None:
+    """Split ``rule`` on paren-depth-0 ANDs; None if a depth-0 OR
+    exists (the conjunct property the skew governor relies on fails)."""
+    cuts: list[tuple[int, int]] = []
+    depth = 0
+    for m in re.finditer(r"(?i)\bAND\b|\bOR\b|[()]", rule):
+        t = m.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            if t.upper() == "OR":
+                return None
+            cuts.append((m.start(), m.end()))
+    parts, prev = [], 0
+    for s0, e0 in cuts:
+        parts.append(rule[prev:s0])
+        prev = e0
+    parts.append(rule[prev:])
+    return [p.strip() for p in parts]
+
+
+def _strip_balanced_parens(p: str) -> str:
+    while p.startswith("(") and p.endswith(")"):
+        inner = p[1:-1]
+        depth = 0
+        ok = True
+        for ch in inner:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    ok = False
+                    break
+        if ok and depth == 0:
+            p = inner.strip()
+        else:
+            break
+    return p
+
+
+def extract_equi_components(rule: str) -> list[tuple[str, str]]:
+    """Top-level AND-conjunct equalities ``f(l) = g(r)`` of ``rule``,
+    returned as (left-expression, right-expression) strings.
+
+    Every pair matched by the rule satisfies ALL of these, so hot-key
+    membership computed from them is identical on both sides of the
+    join — the property that makes the skew governor's hot/normal
+    split exact. Returns [] when the rule has a top-level OR (the
+    conjunct property then fails) or no such equality exists.
+    """
+    parts = _top_level_conjuncts(rule)
+    if parts is None:
+        return []
+    out: list[tuple[str, str]] = []
+    for p in parts:
+        p = _strip_balanced_parens(p)
+        depth = 0
+        eq_pos: list[int] = []
+        for idx, ch in enumerate(p):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "=" and depth == 0:
+                if idx and p[idx - 1] in "<>!=":
+                    continue
+                if idx + 1 < len(p) and p[idx + 1] == "=":
+                    continue
+                eq_pos.append(idx)
+        if len(eq_pos) != 1:
+            continue
+        a, b = p[: eq_pos[0]].strip(), p[eq_pos[0] + 1 :].strip()
+        ra = set(re.findall(r"\b([lr])\s*\.", a))
+        rb = set(re.findall(r"\b([lr])\s*\.", b))
+        if ra == {"l"} and rb == {"r"}:
+            out.append((a, b))
+        elif ra == {"r"} and rb == {"l"}:
+            out.append((b, a))
+    return out
+
+
+def _strip_alias(expr: str, alias: str) -> str:
+    return re.sub(rf"\b{alias}\s*\.\s*", "", expr)
+
+
+def _governed_join(
+    df: DataFrame,
+    right: DataFrame,
+    cond: str,
+    br: BlockingRule,
+    uid: str,
+) -> list[DataFrame]:
+    """Skew governor (north rule: "broadcast threshold on oversized
+    blocks"): split the rule's join into
+
+    - a NORMAL branch — rows whose equi key is not hot, joined by the
+      usual shuffled hash join (still salted if the rule asks for it);
+    - a HOT branch — rows of blocks larger than
+      ``broadcast_hot_keys_above``, where the right side is broadcast so
+      the n² pair work of each oversized block spreads across the left
+      side's partitions instead of landing on one shuffle reducer.
+
+    The split is exact: the rule's AND-conjunct equalities force l and r
+    of any matching pair onto the same key, so a pair is produced by
+    exactly one branch. NULL keys never satisfy an equality and are
+    excluded from the hot set. The hot-key census appears once per rule
+    in the plan; Spark's exchange reuse serves the four consumers
+    (semi/anti × l/r) from one broadcast.
+    """
+    equi = extract_equi_components(br.rule)
+    if not equi:
+        raise ValueError(
+            f"broadcast_hot_keys_above set on rule {br.rule!r}, but no "
+            "top-level AND-conjunct equi component could be extracted "
+            "(an OR rule cannot be hot-key split exactly)"
+        )
+    hk = [f"__hk{i}" for i in range(len(equi))]
+    l_keys = [
+        F.expr(_strip_alias(a, "l")).alias(k)
+        for (a, _), k in zip(equi, hk)
+    ]
+    keyed = df.select(*l_keys)
+    if right is not df:
+        r_keys = [
+            F.expr(_strip_alias(b, "r")).alias(k)
+            for (_, b), k in zip(equi, hk)
+        ]
+        keyed = keyed.unionByName(right.select(*r_keys))
+    hot_keys = (
+        keyed.na.drop(subset=hk)
+        .groupBy(*hk)
+        .count()
+        .filter(F.col("count") > br.broadcast_hot_keys_above)
+        .drop("count")
+    )
+    semi_l = " AND ".join(
+        f"({a}) = h.{k}" for (a, _), k in zip(equi, hk)
+    )
+    semi_r = " AND ".join(
+        f"({b}) = h.{k}" for (_, b), k in zip(equi, hk)
+    )
+    hb = F.broadcast(hot_keys)
+    l_hot = df.alias("l").join(hb.alias("h"), F.expr(semi_l), "left_semi")
+    l_norm = df.alias("l").join(hb.alias("h"), F.expr(semi_l), "left_anti")
+    r_hot = right.alias("r").join(hb.alias("h"), F.expr(semi_r), "left_semi")
+    r_norm = right.alias("r").join(hb.alias("h"), F.expr(semi_r), "left_anti")
+    normal = _rule_join(l_norm, r_norm, cond, br, uid)
+    hot = l_hot.alias("l").join(
+        F.broadcast(r_hot).alias("r"), F.expr(cond), "inner"
+    )
+    # Returned un-projected (raw l.*/r.* joins carry duplicate column
+    # names); the caller projects each branch, then unions.
+    return [normal, hot]
+
+
+def _rule_join(
+    df: DataFrame,
+    right: DataFrame,
+    cond: str,
+    br: BlockingRule,
+    uid: str,
+) -> DataFrame:
+    """One rule's join, salted if the rule asks for it (key-append
+    salting: ONE join, see module docstring)."""
+    if br.salting_partitions > 1:
+        n = br.salting_partitions
+        salted_right = right.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(k) for k in range(n)]))
+        )
+        salted = f"{cond} AND pmod(xxhash64(l.{uid}), {n}) = r.__salt"
+        return df.alias("l").join(
+            salted_right.alias("r"), F.expr(salted), "inner"
+        )
+    return df.alias("l").join(right.alias("r"), F.expr(cond), "inner")
+
+
 def _pair_projection(
     df: DataFrame,
     uid: str,
@@ -156,29 +335,18 @@ def block_using_rules(
             conds.append(f"(NOT coalesce(({prev.rule}), false))")
         cond = " AND ".join(conds)
 
-        if br.salting_partitions > 1:
-            # Key-append salting: ONE join. Left side salt is an
-            # expression over l (an extractable equi key half); right
-            # side replicated N× via explode of a literal array. Each
-            # (l, r) pair matches exactly one salt value, so output rows
-            # are identical to the unsalted join.
-            n = br.salting_partitions
-            salted_right = right.withColumn(
-                "__salt", F.explode(F.array(*[F.lit(k) for k in range(n)]))
-            )
-            salted = f"{cond} AND pmod(xxhash64(l.{uid}), {n}) = r.__salt"
-            j = df.alias("l").join(
-                salted_right.alias("r"), F.expr(salted), "inner"
-            )
+        if br.broadcast_hot_keys_above > 0:
+            branches = _governed_join(df, right, cond, br, uid)
         else:
-            j = df.alias("l").join(right.alias("r"), F.expr(cond), "inner")
-        outputs.append(
-            j.select(
-                *_pair_projection(
-                    df, uid, retain_columns, i, link_mode, source_col
+            branches = [_rule_join(df, right, cond, br, uid)]
+        for j in branches:
+            outputs.append(
+                j.select(
+                    *_pair_projection(
+                        df, uid, retain_columns, i, link_mode, source_col
+                    )
                 )
             )
-        )
 
     out = outputs[0]
     for o in outputs[1:]:
