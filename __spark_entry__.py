@@ -258,6 +258,18 @@ def q_o5_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(f"{DOC_UID}_l", f"{DOC_UID}_r", "match_key")
 
 
+def q_o5b_governed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew governor: same pairs as the plain join, but blocks larger
+    than the threshold take the broadcast path (hot/normal split —
+    north rule's broadcast threshold on oversized blocks). Oracle is
+    the ungoverned pair SQL: the split must be invisible in the output.
+    """
+    governed = BlockingRule(rule=RULE_1.rule, broadcast_hot_keys_above=10)
+    return block_using_rules(
+        _docs(spark, sf_dir), [governed], uid=DOC_UID
+    ).select(f"{DOC_UID}_l", f"{DOC_UID}_r", "match_key")
+
+
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     settings = documents_settings()
     pairs = block_using_rules(
@@ -1491,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_concat_with_tf": q_o3_concat_with_tf,
         "o4_blocking": q_o4_blocking,
         "o5_salted_blocking": q_o5_salted,
+        "o5b_governed_blocking": q_o5b_governed,
         "o4_link_only": q_link_only_blocking,
         "o6_comparison_vectors": q_o6_vectors,
         "o7_match_weights": q_o7_predict,
@@ -1947,6 +1960,7 @@ def oracle_sql() -> dict[str, str]:
         "o4_blocking": _pairs_sql([RULE_1, RULE_2], []),
         "o4_link_only": link_only_sql,
         "o5_salted_blocking": _pairs_sql([RULE_1], []),
+        "o5b_governed_blocking": _pairs_sql([RULE_1], []),
         "o6_comparison_vectors": vectors_sql,
         "o7_match_weights": predict_sql,
         "o7_tf_adjusted": tf_adjusted_sql,

@@ -43,6 +43,7 @@ Spark-first design (NOT a port):
 
 from __future__ import annotations
 
+import math
 import re
 
 from pyspark.sql import DataFrame
@@ -531,3 +532,87 @@ def skew_report(
     cap (SURVEY.md §4 'skew governor').
     """
     return block_census(df, key_cols).orderBy(F.desc("block_size")).limit(top_n)
+
+
+def tune_blocking_rules(
+    df: DataFrame,
+    rules: list[BlockingRule],
+    target_block_pairs: int = 5_000_000,
+) -> tuple[list[BlockingRule], list[dict]]:
+    """Auto-tune the skew governor: census each rule's equi-key blocks
+    and switch on ``broadcast_hot_keys_above`` where a block's pair
+    count (c*(c-1)/2) would exceed ``target_block_pairs`` — the largest
+    pair workload one shuffle reducer should absorb.
+
+    The threshold in ROWS is floor((1+sqrt(1+8*target))/2), the block
+    size whose pair count hits the target. One aggregation pass per
+    rule; only scalar stats reach the driver, so this is safe to run on
+    the full corpus at any scale. Rules without extractable equi
+    conjuncts (top-level OR) are passed through unchanged and flagged
+    in the report.
+
+    Returns (tuned rules, per-rule report dicts with max/p99 block
+    size, hot-block count and hot-pair fraction at the chosen
+    threshold).
+    """
+    threshold = int((1 + math.isqrt(1 + 8 * target_block_pairs)) // 2)
+    tuned: list[BlockingRule] = []
+    report: list[dict] = []
+    for br in rules:
+        equi = extract_equi_components(br.rule)
+        if not equi:
+            tuned.append(br)
+            report.append(
+                {"rule": br.rule, "governable": False, "reason": "no equi conjuncts"}
+            )
+            continue
+        keys = [
+            F.expr(_strip_alias(a, "l")).alias(f"__tk{i}")
+            for i, (a, _) in enumerate(equi)
+        ]
+        census = (
+            df.select(*keys)
+            .na.drop()
+            .groupBy(*[f"__tk{i}" for i in range(len(equi))])
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pairs = F.col("c") * (F.col("c") - 1) / 2
+        stats = census.agg(
+            F.max("c").alias("max_block"),
+            F.expr("percentile_approx(c, 0.99)").alias("p99_block"),
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(pairs).alias("total_pairs"),
+            F.sum(F.when(F.col("c") > threshold, F.lit(1)).otherwise(F.lit(0))).alias(
+                "hot_blocks"
+            ),
+            F.sum(F.when(F.col("c") > threshold, pairs).otherwise(F.lit(0))).alias(
+                "hot_pairs"
+            ),
+        ).collect()[0]
+        hot = int(stats["hot_blocks"] or 0)
+        total = float(stats["total_pairs"] or 0.0)
+        row = {
+            "rule": br.rule,
+            "governable": True,
+            "threshold_rows": threshold,
+            "max_block": int(stats["max_block"] or 0),
+            "p99_block": int(stats["p99_block"] or 0),
+            "n_blocks": int(stats["n_blocks"] or 0),
+            "hot_blocks": hot,
+            "hot_pair_fraction": (
+                float(stats["hot_pairs"] or 0.0) / total if total else 0.0
+            ),
+        }
+        if hot > 0:
+            tuned.append(
+                BlockingRule(
+                    rule=br.rule,
+                    salting_partitions=br.salting_partitions,
+                    sql_rule=br.sql_rule,
+                    broadcast_hot_keys_above=threshold,
+                )
+            )
+        else:
+            tuned.append(br)
+        report.append(row)
+    return tuned, report
