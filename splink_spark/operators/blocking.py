@@ -538,6 +538,7 @@ def tune_blocking_rules(
     df: DataFrame,
     rules: list[BlockingRule],
     target_block_pairs: int = 5_000_000,
+    hot_broadcast_row_limit: int = 2_000_000,
 ) -> tuple[list[BlockingRule], list[dict]]:
     """Auto-tune the skew governor: census each rule's equi-key blocks
     and switch on ``broadcast_hot_keys_above`` where a block's pair
@@ -550,6 +551,13 @@ def tune_blocking_rules(
     the full corpus at any scale. Rules without extractable equi
     conjuncts (top-level OR) are passed through unchanged and flagged
     in the report.
+
+    Broadcast safety: the governor ships every oversized block's rows
+    to all executors, so when the hot side exceeds
+    ``hot_broadcast_row_limit`` rows the tuner falls back to salting
+    (boosting ``salting_partitions`` to at least 16) instead — the hot
+    keys still split across reducers, and the driver/executor memory
+    never sees an unboundable broadcast.
 
     Returns (tuned rules, per-rule report dicts with max/p99 block
     size, hot-block count and hot-pair fraction at the chosen
@@ -588,8 +596,12 @@ def tune_blocking_rules(
             F.sum(F.when(F.col("c") > threshold, pairs).otherwise(F.lit(0))).alias(
                 "hot_pairs"
             ),
+            F.sum(
+                F.when(F.col("c") > threshold, F.col("c")).otherwise(F.lit(0))
+            ).alias("hot_rows"),
         ).collect()[0]
         hot = int(stats["hot_blocks"] or 0)
+        hot_rows = int(stats["hot_rows"] or 0)
         total = float(stats["total_pairs"] or 0.0)
         row = {
             "rule": br.rule,
@@ -599,17 +611,27 @@ def tune_blocking_rules(
             "p99_block": int(stats["p99_block"] or 0),
             "n_blocks": int(stats["n_blocks"] or 0),
             "hot_blocks": hot,
+            "hot_rows": hot_rows,
             "hot_pair_fraction": (
                 float(stats["hot_pairs"] or 0.0) / total if total else 0.0
             ),
         }
-        if hot > 0:
+        if hot > 0 and hot_rows <= hot_broadcast_row_limit:
             tuned.append(
                 BlockingRule(
                     rule=br.rule,
                     salting_partitions=br.salting_partitions,
                     sql_rule=br.sql_rule,
                     broadcast_hot_keys_above=threshold,
+                )
+            )
+        elif hot > 0:
+            row["fallback"] = "salted (hot side too large to broadcast)"
+            tuned.append(
+                BlockingRule(
+                    rule=br.rule,
+                    salting_partitions=max(br.salting_partitions, 16),
+                    sql_rule=br.sql_rule,
                 )
             )
         else:
