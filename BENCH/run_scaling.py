@@ -249,8 +249,14 @@ def measure_host_parallel_capacity() -> dict:
     }
 
 
-CORES_A = int(os.environ.get("CORES_A", "8"))
-CORES_B = int(os.environ.get("CORES_B", "32"))
+# Default legs 2 -> 8: the documented protocol (BASELINE.md). This
+# host has 16 physical cores exposed as 32 SMT threads, so an 8 -> 32
+# leg crosses the SMT boundary and the hardware itself cannot deliver
+# 4x (pure-python capacity ratio ~1.3x across that boundary; see the
+# "8 -> 32 leg" appendix). 2 -> 8 keeps both legs on physical cores —
+# the honest N-vs-4N-executor proxy.
+CORES_A = int(os.environ.get("CORES_A", "2"))
+CORES_B = int(os.environ.get("CORES_B", "8"))
 
 
 RESULTS_BEGIN = "<!-- RESULTS:BEGIN (auto-managed by run_scaling.py) -->"

@@ -79,27 +79,53 @@ def main() -> None:
     #    Never materialize the raw pair table: caching array-typed pair
     #    rows costs far more to (de)serialize than recomputing the join
     #    inside the pipeline. Persist only the narrow scored output.
-    t0 = time.time()
-    pairs = block_using_rules(
-        prepared,
-        settings.blocking_rules,
-        uid="unique_id",
-        retain_columns=["text_tokens", "bk_title", "bk_domain"],
-    )
-    scored = (
-        predict_from_comparison_vectors(
-            compute_comparison_vectors(pairs, settings), settings
+    #
+    #    MEDIAN-OF-K timing (default 3, env SPARK_GRAFT_SCORING_RUNS):
+    #    the two scoring stages are the headline quotient's
+    #    denominator, and a single-shot sample on this shared host
+    #    moves severalfold with co-tenant load (r4: 311k pairs/s under
+    #    ~50% steal vs 556k idle, identical code). Same statistics-not-
+    #    duels protocol as BENCH/run_scaling.py. Each timed run
+    #    recomputes the full unpersisted DAG and is drained with an
+    #    agg over match_weight — a bare count() would let Catalyst
+    #    prune the scoring projection and time only the join.
+    scoring_runs = max(1, int(os.environ.get("SPARK_GRAFT_SCORING_RUNS", "3")))
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        return s[len(s) // 2]
+
+    def _scored_dag():
+        pairs = block_using_rules(
+            prepared,
+            settings.blocking_rules,
+            uid="unique_id",
+            retain_columns=["text_tokens", "bk_title", "bk_domain"],
         )
-        .select(
+        return predict_from_comparison_vectors(
+            compute_comparison_vectors(pairs, settings), settings
+        ).select(
             "unique_id_l",
             "unique_id_r",
             "match_weight",
             "match_probability",
         )
-        .persist()
-    )
-    n_pairs = scored.count()
-    timings["block_and_score"] = time.time() - t0
+
+    bs_runs: list[float] = []
+    for _ in range(scoring_runs):
+        t0 = time.time()
+        agg = _scored_dag().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("match_weight").alias("s")
+        ).collect()[0]
+        bs_runs.append(round(time.time() - t0, 3))
+    n_pairs = int(agg["n"])
+    timings["block_and_score"] = _median(bs_runs)
+
+    # untimed: materialize the narrow scored output once for the
+    # downstream cluster/F1 stages (persist forces full-row caching,
+    # so scoring is not pruned here either)
+    scored = _scored_dag().persist()
+    scored.count()
     preds = scored.filter(F.col("match_probability") >= 0.5)
     n_scored_kept = preds.count()
 
@@ -136,16 +162,23 @@ def main() -> None:
             F.col("r.bk_domain").alias("bk_domain_r"),
         )
     )
+    sample_setup_sec = round(time.time() - t0, 3)
     scored_sample = predict_from_comparison_vectors(
         compute_comparison_vectors(rand_pairs, settings), settings
     )
     # aggregate over match_weight, NOT count(): a bare count would let
-    # Catalyst prune the scoring projection and measure only the join
-    agg = scored_sample.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("match_weight").alias("s")
-    ).collect()[0]
+    # Catalyst prune the scoring projection and measure only the join.
+    # Median-of-K like block_and_score; the checkpointed sample is
+    # shared across runs, so each run times the cross-join + scoring.
+    ss_runs: list[float] = []
+    for _ in range(scoring_runs):
+        t0 = time.time()
+        agg = scored_sample.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("match_weight").alias("s")
+        ).collect()[0]
+        ss_runs.append(round(time.time() - t0, 3))
     n_sampled = int(agg["n"])
-    timings["score_sampled"] = time.time() - t0
+    timings["score_sampled"] = _median(ss_runs) + sample_setup_sec
 
     # -- stage 4: cluster ------------------------------------------------
     t0 = time.time()
@@ -310,6 +343,10 @@ def main() -> None:
                 "pairs_sampled": n_sampled,
                 "pairs_scored_total": n_pairs + n_sampled,
                 "scoring_sec": round(scoring_sec, 3),
+                "scoring_runs": scoring_runs,
+                "block_and_score_runs_sec": bs_runs,
+                "score_sampled_runs_sec": ss_runs,
+                "sample_setup_sec": sample_setup_sec,
                 "pairs_kept": n_scored_kept,
                 "pipeline_sec": round(pipeline_secs, 3),
                 "total_sec": round(total, 3),
