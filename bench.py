@@ -80,7 +80,8 @@ def main() -> None:
     #    rows costs far more to (de)serialize than recomputing the join
     #    inside the pipeline. Persist only the narrow scored output.
     #
-    #    MEDIAN-OF-K timing (default 3, env SPARK_GRAFT_SCORING_RUNS):
+    #    WARMED MEDIAN-OF-K timing (default 3, env
+    #    SPARK_GRAFT_SCORING_RUNS; one untimed warm-up precedes):
     #    the two scoring stages are the headline quotient's
     #    denominator, and a single-shot sample on this shared host
     #    moves severalfold with co-tenant load (r4: 311k pairs/s under
@@ -111,14 +112,25 @@ def main() -> None:
             "match_probability",
         )
 
-    bs_runs: list[float] = []
-    for _ in range(scoring_runs):
+    #    WARM-UP (r4 verdict task 1): the first execution of each scored
+    #    DAG pays one-time codegen/JIT + OS page-cache costs (r4 measured
+    #    27.0 -> 20.2 -> 11.2 s back-to-back on identical plans), so a
+    #    median that includes it measures warm-up, not the engine. One
+    #    UNTIMED warm-up run precedes the K timed runs; its wall is
+    #    reported separately as *_cold_sec so the cold path stays visible
+    #    without polluting the round-over-round headline.
+    def _drain(df) -> tuple[float, int]:
         t0 = time.time()
-        agg = _scored_dag().agg(
+        agg = df.agg(
             F.count(F.lit(1)).alias("n"), F.sum("match_weight").alias("s")
         ).collect()[0]
-        bs_runs.append(round(time.time() - t0, 3))
-    n_pairs = int(agg["n"])
+        return round(time.time() - t0, 3), int(agg["n"])
+
+    bs_cold_sec, n_pairs = _drain(_scored_dag())
+    bs_runs: list[float] = []
+    for _ in range(scoring_runs):
+        sec, n_pairs = _drain(_scored_dag())
+        bs_runs.append(sec)
     timings["block_and_score"] = _median(bs_runs)
 
     # untimed: materialize the narrow scored output once for the
@@ -168,16 +180,14 @@ def main() -> None:
     )
     # aggregate over match_weight, NOT count(): a bare count would let
     # Catalyst prune the scoring projection and measure only the join.
-    # Median-of-K like block_and_score; the checkpointed sample is
-    # shared across runs, so each run times the cross-join + scoring.
+    # Median-of-K like block_and_score (one untimed warm-up first); the
+    # checkpointed sample is shared across runs, so each timed run
+    # exercises the cross-join + scoring.
+    ss_cold_sec, n_sampled = _drain(scored_sample)
     ss_runs: list[float] = []
     for _ in range(scoring_runs):
-        t0 = time.time()
-        agg = scored_sample.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("match_weight").alias("s")
-        ).collect()[0]
-        ss_runs.append(round(time.time() - t0, 3))
-    n_sampled = int(agg["n"])
+        sec, n_sampled = _drain(scored_sample)
+        ss_runs.append(sec)
     timings["score_sampled"] = _median(ss_runs) + sample_setup_sec
 
     # -- stage 4: cluster ------------------------------------------------
@@ -346,6 +356,8 @@ def main() -> None:
                 "scoring_runs": scoring_runs,
                 "block_and_score_runs_sec": bs_runs,
                 "score_sampled_runs_sec": ss_runs,
+                "block_and_score_cold_sec": bs_cold_sec,
+                "score_sampled_cold_sec": ss_cold_sec,
                 "sample_setup_sec": sample_setup_sec,
                 "pairs_kept": n_scored_kept,
                 "pipeline_sec": round(pipeline_secs, 3),
