@@ -43,6 +43,7 @@ Spark-first design (NOT a port):
 
 from __future__ import annotations
 
+import dataclasses
 import math
 import re
 
@@ -76,19 +77,51 @@ _EQUI_RE = re.compile(
 
 
 def rule_has_equi_component(rule: str) -> bool:
-    """True if the rule contains at least one l.x = r.y equality that
-    Catalyst can extract as a join key. Conservative (textual) check —
-    an OR of equalities is not a usable equi key, so require no top-level
-    OR around them for safety."""
-    return bool(_EQUI_RE.search(rule))
+    """True if the rule contains at least one ``f(l) = g(r)`` equality
+    that Catalyst can extract as a join key — bare columns (l.x = r.x,
+    the regex fast path) or derived-expression keys like
+    ``least(l.a, l.b) = least(r.a, r.b)`` (via
+    ``extract_equi_components``, which also requires no top-level OR
+    around them). Conservative textual check."""
+    return bool(_EQUI_RE.search(rule)) or bool(
+        extract_equi_components(rule)
+    )
+
+
+def _mask_literals(s: str) -> str:
+    """Same-length copy of ``s`` with the CONTENT of single-quoted SQL
+    string literals replaced by ``x`` (quotes kept, '' escape
+    handled), so structural scans (parens, AND/OR, '=') cannot be
+    corrupted by literals like ``':)'`` or ``'a AND b'``. Slice the
+    ORIGINAL string at indices found on the mask."""
+    out = list(s)
+    i, n = 0, len(s)
+    in_str = False
+    while i < n:
+        c = s[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < n and s[i + 1] == "'":  # '' escape
+                    out[i] = out[i + 1] = "x"
+                    i += 2
+                    continue
+                in_str = False
+            else:
+                out[i] = "x"
+        elif c == "'":
+            in_str = True
+        i += 1
+    return "".join(out)
 
 
 def _top_level_conjuncts(rule: str) -> list[str] | None:
     """Split ``rule`` on paren-depth-0 ANDs; None if a depth-0 OR
-    exists (the conjunct property the skew governor relies on fails)."""
+    exists (the conjunct property the skew governor relies on fails).
+    Structure is scanned on the literal-masked copy, so quoted
+    strings containing AND/OR/parens are inert."""
     cuts: list[tuple[int, int]] = []
     depth = 0
-    for m in re.finditer(r"(?i)\bAND\b|\bOR\b|[()]", rule):
+    for m in re.finditer(r"(?i)\bAND\b|\bOR\b|[()]", _mask_literals(rule)):
         t = m.group(0)
         if t == "(":
             depth += 1
@@ -111,7 +144,7 @@ def _strip_balanced_parens(p: str) -> str:
         inner = p[1:-1]
         depth = 0
         ok = True
-        for ch in inner:
+        for ch in _mask_literals(inner):
             if ch == "(":
                 depth += 1
             elif ch == ")":
@@ -144,7 +177,7 @@ def extract_equi_components(rule: str) -> list[tuple[str, str]]:
         p = _strip_balanced_parens(p)
         depth = 0
         eq_pos: list[int] = []
-        for idx, ch in enumerate(p):
+        for idx, ch in enumerate(_mask_literals(p)):
             if ch == "(":
                 depth += 1
             elif ch == ")":
@@ -534,11 +567,34 @@ def skew_report(
     return block_census(df, key_cols).orderBy(F.desc("block_size")).limit(top_n)
 
 
+def estimate_avg_row_bytes(df: DataFrame, sample_rows: int = 10_000) -> float:
+    """Cheap average serialized-row-width estimate for broadcast sizing.
+
+    Measures ``octet_length(to_json(struct(*)))`` over a bounded sample.
+    JSON framing overestimates the in-memory Tungsten width modestly —
+    the right direction for a broadcast SAFETY bound. One limit + one
+    scalar agg; nothing wide reaches the driver.
+    """
+    row = (
+        df.limit(sample_rows)
+        .select(
+            F.avg(
+                F.octet_length(F.to_json(F.struct(*df.columns)))
+            ).alias("w")
+        )
+        .collect()[0]
+    )
+    return float(row["w"] or 0.0)
+
+
 def tune_blocking_rules(
     df: DataFrame,
     rules: list[BlockingRule],
     target_block_pairs: int = 5_000_000,
     hot_broadcast_row_limit: int = 2_000_000,
+    df_right: DataFrame | None = None,
+    hot_broadcast_byte_limit: int = 256 * 1024 * 1024,
+    width_sample_rows: int = 10_000,
 ) -> tuple[list[BlockingRule], list[dict]]:
     """Auto-tune the skew governor: census each rule's equi-key blocks
     and switch on ``broadcast_hot_keys_above`` where a block's pair
@@ -552,18 +608,29 @@ def tune_blocking_rules(
     conjuncts (top-level OR) are passed through unchanged and flagged
     in the report.
 
-    Broadcast safety: the governor ships every oversized block's rows
-    to all executors, so when the hot side exceeds
-    ``hot_broadcast_row_limit`` rows the tuner falls back to salting
-    (boosting ``salting_partitions`` to at least 16) instead — the hot
-    keys still split across reducers, and the driver/executor memory
-    never sees an unboundable broadcast.
+    Link mode: pass ``df_right`` and the census counts the UNION of
+    left-key and right-key expressions — the same hot-key definition
+    ``_governed_join`` applies — so a hot key concentrated on either
+    side is seen. Asymmetric rules (``l.a = r.b``) are censused on
+    their own side's expression.
+
+    Broadcast safety is bounded in BOTH rows and bytes: the governor
+    broadcasts the RIGHT side's hot rows with all retained columns, so
+    the tuner estimates avg row width (``estimate_avg_row_bytes`` over
+    the broadcast side) and falls back to salting (boosting
+    ``salting_partitions`` to at least 16) when hot rows exceed
+    ``hot_broadcast_row_limit`` OR hot_rows x avg_width exceeds
+    ``hot_broadcast_byte_limit``. Wide retained columns (token arrays,
+    html) therefore count against the budget — a 2M-row cap alone
+    would admit multi-GB broadcasts.
 
     Returns (tuned rules, per-rule report dicts with max/p99 block
-    size, hot-block count and hot-pair fraction at the chosen
-    threshold).
+    size, hot-block count, hot-pair fraction, and the broadcast-side
+    row/byte estimates at the chosen threshold).
     """
     threshold = int((1 + math.isqrt(1 + 8 * target_block_pairs)) // 2)
+    bcast_side = df_right if df_right is not None else df
+    avg_row_bytes = estimate_avg_row_bytes(bcast_side, width_sample_rows)
     tuned: list[BlockingRule] = []
     report: list[dict] = []
     for br in rules:
@@ -574,34 +641,58 @@ def tune_blocking_rules(
                 {"rule": br.rule, "governable": False, "reason": "no equi conjuncts"}
             )
             continue
-        keys = [
-            F.expr(_strip_alias(a, "l")).alias(f"__tk{i}")
-            for i, (a, _) in enumerate(equi)
+        kn = [f"__tk{i}" for i in range(len(equi))]
+        l_keys = [
+            F.expr(_strip_alias(a, "l")).alias(k)
+            for (a, _), k in zip(equi, kn)
         ]
+        # __bc marks rows of the side _governed_join broadcasts (r_hot
+        # comes from the right frame; in dedupe mode right IS df, so
+        # every row counts against the broadcast budget).
+        if df_right is not None:
+            r_keys = [
+                F.expr(_strip_alias(b, "r")).alias(k)
+                for (_, b), k in zip(equi, kn)
+            ]
+            keyed = df.select(*l_keys).withColumn(
+                "__bc", F.lit(0)
+            ).unionByName(
+                df_right.select(*r_keys).withColumn("__bc", F.lit(1))
+            )
+        else:
+            keyed = df.select(*l_keys).withColumn("__bc", F.lit(1))
         census = (
-            df.select(*keys)
-            .na.drop()
-            .groupBy(*[f"__tk{i}" for i in range(len(equi))])
-            .agg(F.count(F.lit(1)).alias("c"))
+            keyed.na.drop(subset=kn)
+            .groupBy(*kn)
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.sum("__bc").alias("cb"),
+            )
         )
         pairs = F.col("c") * (F.col("c") - 1) / 2
+        hot_cond = F.col("c") > threshold
         stats = census.agg(
             F.max("c").alias("max_block"),
             F.expr("percentile_approx(c, 0.99)").alias("p99_block"),
             F.count(F.lit(1)).alias("n_blocks"),
             F.sum(pairs).alias("total_pairs"),
-            F.sum(F.when(F.col("c") > threshold, F.lit(1)).otherwise(F.lit(0))).alias(
+            F.sum(F.when(hot_cond, F.lit(1)).otherwise(F.lit(0))).alias(
                 "hot_blocks"
             ),
-            F.sum(F.when(F.col("c") > threshold, pairs).otherwise(F.lit(0))).alias(
+            F.sum(F.when(hot_cond, pairs).otherwise(F.lit(0))).alias(
                 "hot_pairs"
             ),
-            F.sum(
-                F.when(F.col("c") > threshold, F.col("c")).otherwise(F.lit(0))
-            ).alias("hot_rows"),
+            F.sum(F.when(hot_cond, F.col("c")).otherwise(F.lit(0))).alias(
+                "hot_rows"
+            ),
+            F.sum(F.when(hot_cond, F.col("cb")).otherwise(F.lit(0))).alias(
+                "hot_bcast_rows"
+            ),
         ).collect()[0]
         hot = int(stats["hot_blocks"] or 0)
         hot_rows = int(stats["hot_rows"] or 0)
+        hot_bcast_rows = int(stats["hot_bcast_rows"] or 0)
+        hot_bcast_bytes = int(hot_bcast_rows * avg_row_bytes)
         total = float(stats["total_pairs"] or 0.0)
         row = {
             "rule": br.rule,
@@ -612,26 +703,31 @@ def tune_blocking_rules(
             "n_blocks": int(stats["n_blocks"] or 0),
             "hot_blocks": hot,
             "hot_rows": hot_rows,
+            "hot_bcast_rows": hot_bcast_rows,
+            "avg_row_bytes": round(avg_row_bytes, 1),
+            "hot_bcast_bytes_est": hot_bcast_bytes,
             "hot_pair_fraction": (
                 float(stats["hot_pairs"] or 0.0) / total if total else 0.0
             ),
         }
-        if hot > 0 and hot_rows <= hot_broadcast_row_limit:
+        if (
+            hot > 0
+            and hot_bcast_rows <= hot_broadcast_row_limit
+            and hot_bcast_bytes <= hot_broadcast_byte_limit
+        ):
             tuned.append(
-                BlockingRule(
-                    rule=br.rule,
-                    salting_partitions=br.salting_partitions,
-                    sql_rule=br.sql_rule,
-                    broadcast_hot_keys_above=threshold,
-                )
+                dataclasses.replace(br, broadcast_hot_keys_above=threshold)
             )
         elif hot > 0:
-            row["fallback"] = "salted (hot side too large to broadcast)"
+            row["fallback"] = (
+                "salted (hot side too large to broadcast: "
+                f"{hot_bcast_rows} rows ~ {hot_bcast_bytes} bytes)"
+            )
             tuned.append(
-                BlockingRule(
-                    rule=br.rule,
+                dataclasses.replace(
+                    br,
                     salting_partitions=max(br.salting_partitions, 16),
-                    sql_rule=br.sql_rule,
+                    broadcast_hot_keys_above=0,
                 )
             )
         else:
