@@ -172,16 +172,19 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """REAL decode of an 8-bit non-interlaced PNG into an (h, w, 3)
-    uint8 RGB array — stdlib ``zlib`` + per-scanline unfiltering, no
-    codec library (PNG spec: chunk walk, IDAT concat, filter types
-    0-4 including Paeth). Color types: 0 (gray, replicated to RGB),
-    2 (RGB), 6 (RGBA, alpha dropped). Raises ValueError on anything
-    else (interlaced, 16-bit, palette)."""
+    """REAL decode of a non-interlaced PNG into an (h, w, 3) uint8 RGB
+    array — stdlib ``zlib`` + per-scanline unfiltering, no codec
+    library (PNG spec: chunk walk, IDAT concat, filter types 0-4
+    including Paeth, PLTE lookup, sub-byte bit unpacking, 16-bit
+    downshift). Color types: 0 (gray, depth 1/2/4/8/16, replicated to
+    RGB), 2 (RGB, depth 8/16), 3 (palette, depth 1/2/4/8), 6 (RGBA,
+    depth 8/16, alpha dropped). Raises ValueError on interlaced
+    streams."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, w = 8, None
     idat = bytearray()
+    plte: np.ndarray | None = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
         typ = payload[pos + 4:pos + 8]
@@ -191,20 +194,40 @@ def decode_png(payload: bytes) -> np.ndarray:
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+            ok_depths = {
+                0: (1, 2, 4, 8, 16),
+                2: (8, 16),
+                3: (1, 2, 4, 8),
+                6: (8, 16),
+            }
+            if (
+                interlace != 0
+                or color not in ok_depths
+                or depth not in ok_depths[color]
+            ):
                 raise ValueError(
                     f"unsupported PNG flavour (depth={depth}, "
                     f"color={color}, interlace={interlace})"
                 )
-            ch = {0: 1, 2: 3, 6: 4}[color]
+            ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+        elif typ == b"PLTE":
+            if len(data) % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
+    # filtering operates on BYTES; the left-neighbour offset is the
+    # byte width of one pixel, floored to 1 for sub-byte depths
+    # (PNG spec §9: bpp = ceil-free max(1, ch*depth/8))
+    bpp = max(1, ch * depth // 8)
+    stride = (w * ch * depth + 7) // 8
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
 
@@ -218,9 +241,9 @@ def decode_png(payload: bytes) -> np.ndarray:
         ).astype(np.int32)
         if f == 0:
             recon = row
-        elif f == 1:  # Sub: cumulative sum per channel position
+        elif f == 1:  # Sub: cumulative sum per byte position in pixel
             recon = np.cumsum(
-                row.reshape(w, ch), axis=0, dtype=np.int64
+                row.reshape(stride // bpp, bpp), axis=0, dtype=np.int64
             ).reshape(stride) % 256
         elif f == 2:  # Up
             recon = row + prev
@@ -228,23 +251,48 @@ def decode_png(payload: bytes) -> np.ndarray:
             recon = np.zeros(stride, dtype=np.int32)
             p32 = prev.astype(np.int32)
             for i in range(stride):
-                left = recon[i - ch] if i >= ch else 0
+                left = recon[i - bpp] if i >= bpp else 0
                 recon[i] = (row[i] + (left + p32[i]) // 2) % 256
         elif f == 4:  # Paeth — sequential left dependency
             recon = np.zeros(stride, dtype=np.int32)
             p32 = prev.astype(np.int32)
             for i in range(stride):
-                a = int(recon[i - ch]) if i >= ch else 0
-                c = int(p32[i - ch]) if i >= ch else 0
+                a = int(recon[i - bpp]) if i >= bpp else 0
+                c = int(p32[i - bpp]) if i >= bpp else 0
                 recon[i] = (row[i] + _paeth(a, int(p32[i]), c)) % 256
         else:
             raise ValueError(f"bad PNG filter type {f}")
         prev = (recon % 256).astype(np.uint8)
         out[y] = prev
-    px = out.reshape(h, w, ch)
+
+    if depth == 16:
+        # big-endian samples: the high byte IS the 8-bit downshift
+        px = out[:, 0::2].reshape(h, w, ch)
+    elif depth < 8:
+        # unpack bits per scanline, trim the row-padding samples
+        bits = np.unpackbits(out, axis=1)  # (h, stride*8) MSB-first
+        idx = bits[:, : (stride * 8 // depth) * depth].reshape(
+            h, -1, depth
+        )
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        samples = (idx * weights).sum(axis=2)[:, :w]  # (h, w)
+        if color == 3:
+            if int(samples.max()) >= len(plte):
+                raise ValueError("palette index out of range")
+            return plte[samples].copy()
+        # grayscale: scale to full 8-bit range (spec sample depth
+        # rescale: v * 255 / (2^depth - 1), exact for 1/2/4)
+        px = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        px = px.reshape(h, w, 1)
+    else:
+        px = out.reshape(h, w, ch)
+    if color == 3:
+        if int(px.max()) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[px.reshape(h, w)].copy()
     if ch == 1:
         return np.repeat(px, 3, axis=2).copy()
-    return px[:, :, :3].copy()
+    return np.ascontiguousarray(px[:, :, :3]).copy()
 
 
 # GIF LZW (spec: GIF89a appendix F) — variable-width codes packed
@@ -421,13 +469,13 @@ def _image_features(rgb: np.ndarray, dim: int = _FEATURE_DIM) -> np.ndarray:
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode + featurize an image payload.
 
-    Uncompressed 24-bit BMP, 8-bit non-interlaced PNG and single-frame
-    GIF decode for REAL (header + numpy + stdlib zlib + from-scratch
-    LZW, see decode_bmp / decode_png / decode_gif). Remaining codecs
-    (JPEG, palette/16-bit PNG, animated GIF, ...) need
-    libraries absent from this container: NotImplementedError unless
-    ``fake=True``, which substitutes the deterministic md5-seeded
-    pseudo-decoder."""
+    Uncompressed 24-bit BMP, non-interlaced PNG (gray/RGB/RGBA/palette
+    at depths 1-16) and single-frame GIF decode for REAL (header +
+    numpy + stdlib zlib + from-scratch LZW, see decode_bmp /
+    decode_png / decode_gif). Remaining codecs (JPEG, interlaced PNG,
+    animated GIF) need libraries absent from this container:
+    NotImplementedError unless ``fake=True``, which substitutes the
+    deterministic md5-seeded pseudo-decoder."""
     if payload and payload[:2] == b"BM":
         try:
             return _image_features(decode_bmp(payload))
@@ -450,8 +498,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         raise NotImplementedError(
             "decoding this format requires an imaging library not "
             "present in this environment; pass fake=True for the "
-            "deterministic stub (uncompressed 24-bit BMP, 8-bit PNG "
-            "and single-frame GIF decode for real)"
+            "deterministic stub (uncompressed 24-bit BMP, "
+            "gray/RGB/RGBA/palette PNG at depths 1-16 and "
+            "single-frame GIF decode for real)"
         )
     return _fake_features(payload)
 
@@ -481,30 +530,28 @@ def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
     return header + rows[::-1].tobytes()  # bottom-up row order
 
 
-def make_png(
-    width: int, height: int, seed: int = 0, filter_mode: str = "none"
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _filter_scanlines(
+    flat: np.ndarray, bpp: int, filter_mode: str
 ) -> bytes:
-    """Valid 8-bit RGB PNG, one zlib IDAT. ``filter_mode``:
-    ``"none"`` writes every scanline with filter 0 (byte-stable —
-    the md5-parity oracles depend on it); ``"mixed"`` filters row y
-    with type ``y % 5`` (None/Sub/Up/Average/Paeth), exercising the
-    decoder's full unfilter matrix while producing identical pixels."""
-
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + typ
-            + data
-            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    y_idx, x_idx = np.mgrid[0:height, 0:width]
-    base = (3 * x_idx + y_idx + seed) % 256
-    px = np.stack(
-        [base, (base + 60) % 256, (base + 120) % 256], axis=-1
-    ).astype(np.uint8)
-    flat = px.reshape(height, width * 3).astype(np.int32)
+    """Filter an (h, stride) byte matrix into the PNG pre-compression
+    stream. ``"none"`` writes every scanline with filter 0
+    (byte-stable — the md5-parity oracles depend on it); ``"mixed"``
+    filters row y with type ``y % 5`` (None/Sub/Up/Average/Paeth),
+    exercising the decoder's full unfilter matrix while producing
+    identical pixels. ``bpp`` is the byte width of one pixel (filter
+    left-neighbour offset), floored to 1 for sub-byte depths."""
+    flat = flat.astype(np.int32)
+    height = flat.shape[0]
+    z = np.zeros(bpp, np.int32)
     parts = []
     for y in range(height):
         row = flat[y]
@@ -513,16 +560,16 @@ def make_png(
         if f == 0:
             filt = row
         elif f == 1:  # Sub
-            left = np.concatenate([np.zeros(3, np.int32), row[:-3]])
+            left = np.concatenate([z, row[:-bpp]])
             filt = (row - left) % 256
         elif f == 2:  # Up
             filt = (row - prev) % 256
         elif f == 3:  # Average
-            left = np.concatenate([np.zeros(3, np.int32), row[:-3]])
+            left = np.concatenate([z, row[:-bpp]])
             filt = (row - (left + prev) // 2) % 256
         else:  # Paeth
-            left = np.concatenate([np.zeros(3, np.int32), row[:-3]])
-            ul = np.concatenate([np.zeros(3, np.int32), prev[:-3]])
+            left = np.concatenate([z, row[:-bpp]])
+            ul = np.concatenate([z, prev[:-bpp]])
             pred = np.array(
                 [
                     _paeth(int(a), int(b), int(c))
@@ -532,12 +579,100 @@ def make_png(
             )
             filt = (row - pred) % 256
         parts.append(bytes([f]) + filt.astype(np.uint8).tobytes())
-    raw = b"".join(parts)
+    return b"".join(parts)
+
+
+def make_png(
+    width: int, height: int, seed: int = 0, filter_mode: str = "none"
+) -> bytes:
+    """Valid 8-bit RGB PNG, one zlib IDAT (pixel value per channel:
+    base = (3x + y + seed) % 256, then +0/+60/+120)."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    y_idx, x_idx = np.mgrid[0:height, 0:width]
+    base = (3 * x_idx + y_idx + seed) % 256
+    px = np.stack(
+        [base, (base + 60) % 256, (base + 120) % 256], axis=-1
+    ).astype(np.uint8)
+    raw = _filter_scanlines(
+        px.reshape(height, width * 3), 3, filter_mode
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_png_palette(
+    width: int,
+    height: int,
+    seed: int = 0,
+    depth: int = 8,
+    filter_mode: str = "none",
+) -> bytes:
+    """Valid palette (color type 3) PNG at bit depth 1/2/4/8.
+
+    Pixel index = (x + y + seed) % 2^depth; palette entry j =
+    ((7j+seed)%256, (13j+seed)%256, (29j+seed)%256) — both formulas
+    are relationally replayable, so the decode oracle stays exact.
+    Sub-byte rows are MSB-first bit-packed (PNG spec §7.2); filtering
+    operates on the PACKED bytes with bpp=1, matching the decoder."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("palette PNG depth must be 1/2/4/8")
+    n = 1 << depth
+    j = np.arange(n, dtype=np.int64)
+    plte = np.stack(
+        [(7 * j + seed) % 256, (13 * j + seed) % 256, (29 * j + seed) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    y_idx, x_idx = np.mgrid[0:height, 0:width]
+    idx = ((x_idx + y_idx + seed) % n).astype(np.uint8)
+    if depth == 8:
+        packed = idx
+    else:
+        # expand each index to `depth` MSB-first bits, pad the row to
+        # a byte boundary, re-pack
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        bits = ((idx[:, :, None] & weights) > 0).astype(np.uint8)
+        bits = bits.reshape(height, width * depth)
+        pad = (-bits.shape[1]) % 8
+        if pad:
+            bits = np.pad(bits, ((0, 0), (0, pad)))
+        packed = np.packbits(bits, axis=1)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
+    raw = _filter_scanlines(packed, 1, filter_mode)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_png16(
+    width: int, height: int, seed: int = 0, filter_mode: str = "none"
+) -> bytes:
+    """Valid 16-bit RGB PNG. Each 16-bit sample is v*257 (= v<<8 | v)
+    of the 8-bit make_png value, so the decoder's high-byte downshift
+    recovers exactly the 8-bit formula — relationally replayable."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, 2, 0, 0, 0)
+    y_idx, x_idx = np.mgrid[0:height, 0:width]
+    base = (3 * x_idx + y_idx + seed) % 256
+    px8 = np.stack(
+        [base, (base + 60) % 256, (base + 120) % 256], axis=-1
+    ).astype(np.uint16)
+    px16 = (px8 * 257).astype(">u2")  # big-endian samples
+    flat = np.frombuffer(px16.tobytes(), dtype=np.uint8).reshape(
+        height, width * 6
+    )
+    raw = _filter_scanlines(flat, 6, filter_mode)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
     )
 
 

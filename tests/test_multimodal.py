@@ -175,13 +175,115 @@ def test_decode_png_rejects_unsupported():
             + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
+    # interlaced (Adam7) stays unsupported
     bad = (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
         + chunk(b"IEND", b"")
     )
     with pytest.raises(ValueError):
         decode_png(bad)
+    # 16-bit palette is an illegal depth/color combination
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(bad)
+    # palette stream without a PLTE chunk
+    from splink_spark.multimodal import make_png_palette
+
+    p = bytearray(make_png_palette(3, 3, seed=1, depth=8))
+    # excise the PLTE chunk (12 bytes framing + 768 data)
+    i = bytes(p).index(b"PLTE") - 4
+    (ln,) = _struct.unpack(">I", p[i:i + 4])
+    del p[i:i + 12 + ln]
+    with pytest.raises(ValueError):
+        decode_png(bytes(p))
+
+
+def test_decode_png_palette_roundtrip():
+    """Palette PNGs at every legal bit depth (1/2/4/8), with both
+    filter modes, decode through PLTE lookup + MSB-first sub-byte
+    unpacking to the exact synthesized RGB."""
+    from splink_spark.multimodal import decode_png, make_png_palette
+
+    for depth in (1, 2, 4, 8):
+        n = 1 << depth
+        for w, h in [(1, 1), (21, 11), (40, 3)]:
+            for mode in ("none", "mixed"):
+                rgb = decode_png(
+                    make_png_palette(
+                        w, h, seed=5, depth=depth, filter_mode=mode
+                    )
+                )
+                y, x = np.mgrid[0:h, 0:w]
+                idx = (x + y + 5) % n
+                want = np.stack(
+                    [
+                        (7 * idx + 5) % 256,
+                        (13 * idx + 5) % 256,
+                        (29 * idx + 5) % 256,
+                    ],
+                    axis=-1,
+                )
+                np.testing.assert_array_equal(
+                    rgb, want, err_msg=f"d{depth} {w}x{h} {mode}"
+                )
+
+
+def test_decode_png_16bit_roundtrip():
+    """16-bit RGB PNGs downshift (high byte of the big-endian sample)
+    to exactly the 8-bit formula; mixed filters use bpp=6 offsets."""
+    from splink_spark.multimodal import decode_png, make_png16
+
+    for w, h in [(1, 1), (17, 9), (23, 13)]:
+        for mode in ("none", "mixed"):
+            rgb = decode_png(make_png16(w, h, seed=11, filter_mode=mode))
+            y, x = np.mgrid[0:h, 0:w]
+            base = (3 * x + y + 11) % 256
+            want = np.stack(
+                [base, (base + 60) % 256, (base + 120) % 256], axis=-1
+            )
+            np.testing.assert_array_equal(
+                rgb, want, err_msg=f"{w}x{h} {mode}"
+            )
+
+
+def test_decode_png_subbyte_grayscale():
+    """Gray color type 0 at depth 4: bit unpack + spec sample rescale
+    v*(255/(2^d-1)), replicated to RGB."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from splink_spark.multimodal import (
+        _filter_scanlines,
+        _png_chunk,
+        decode_png,
+    )
+
+    w, h = 10, 4
+    ihdr = _struct.pack(">IIBBBBB", w, h, 4, 0, 0, 0, 0)
+    y, x = np.mgrid[0:h, 0:w]
+    g = ((x + 2 * y) % 16).astype(np.uint8)
+    weights = np.array([8, 4, 2, 1], dtype=np.uint8)
+    bits = ((g[:, :, None] & weights) > 0).astype(np.uint8)
+    bits = bits.reshape(h, w * 4)
+    bits = np.pad(bits, ((0, 0), (0, (-bits.shape[1]) % 8)))
+    packed = np.packbits(bits, axis=1)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(
+            b"IDAT", _zlib.compress(_filter_scanlines(packed, 1, "mixed"))
+        )
+        + _png_chunk(b"IEND", b"")
+    )
+    want = np.repeat(
+        (g * (255 // 15)).astype(np.uint8)[:, :, None], 3, axis=2
+    )
+    np.testing.assert_array_equal(decode_png(png), want)
 
 
 def test_extract_features_real_png_spark(spark):
