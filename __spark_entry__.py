@@ -1414,16 +1414,90 @@ def q_iceberg_lite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_iceberg_lite_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iceberg-lite EQUALITY-DELETE loop (Iceberg v2 row-level
+    deletes, content=2): documents are committed as snapshot s1; an
+    equality-delete commit (s2) removes every doc_id % 7 == 0 by key
+    WITHOUT rewriting data files; an append commit (s3) re-adds the
+    doc_id % 21 == 0 subset — which must SURVIVE the earlier delete
+    under the spec's sequence-number rule (a delete applies only to
+    data files with a strictly smaller sequence number). The surface
+    reads all three snapshots back through time travel plus one
+    partition-pruned read of the final state, so the oracle (plain
+    filters over the raw table) breaks if deletes leak across
+    snapshots, the anti-join misses keys, or pruning drops the
+    re-added files. reference: n/a (storage layer is a north-rule
+    addition)."""
+    import shutil
+    import tempfile
+
+    from splink_spark.sources.iceberg_lite import (
+        delete_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        F.col(DOC_UID), "lang", "n_chars"
+    )
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        f"splink_spark_iceberg_del_{abs(hash(sf_dir)) % 10**8}",
+    )
+    shutil.rmtree(loc, ignore_errors=True)
+    s1 = write_iceberg(docs, loc, partition_by=["lang"])
+    s2 = delete_iceberg(
+        docs.filter(F.col(DOC_UID) % 7 == 0), loc,
+        equality_cols=[DOC_UID],
+    )
+    s3 = write_iceberg(
+        docs.filter(F.col(DOC_UID) % 21 == 0), loc, mode="append"
+    )
+    min_lang = (
+        docs.filter(F.col("lang").isNotNull())
+        .agg(F.min("lang"))
+        .collect()[0][0]
+    )
+
+    def state(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("snap"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(DOC_UID)).cast("long").alias("sum_ids"),
+            F.sum(
+                F.coalesce(F.col("n_chars"), F.lit(0)).cast("long")
+            ).alias("sum_chars"),
+        )
+
+    out = state("s1_initial", read_iceberg(spark, loc, snapshot_id=s1))
+    out = out.unionByName(
+        state("s2_deleted", read_iceberg(spark, loc, snapshot_id=s2))
+    )
+    out = out.unionByName(
+        state("s3_readded", read_iceberg(spark, loc, snapshot_id=s3))
+    )
+    out = out.unionByName(
+        state(
+            "s3_pruned",
+            read_iceberg(spark, loc, where={"lang": min_lang}),
+        )
+    )
+    return out
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode loop (fake=False end to end): deterministic
     BMP, PNG and GIF payloads are synthesized per document — PNGs with
     MIXED scanline filters (row y uses filter y % 5, so Sub/Up/
-    Average/Paeth unfiltering all execute), GIFs through the
-    from-scratch LZW codec — then decoded back to RGB by the
-    stdlib-only decoders, surfacing integer per-channel pixel
-    sums. The oracle replays the pixel formulas relationally (lateral
-    range joins), so any wrong stride, filter predictor, LZW code
-    width, or channel order breaks the match exactly.
+    Average/Paeth unfiltering all execute; the PNG arm splits three
+    ways into 8-bit RGB, PALETTE at bit depth 1/2/4/8 via PLTE lookup
+    + sub-byte unpacking, and 16-BIT RGB via high-byte downshift),
+    GIFs through the from-scratch LZW codec — then decoded back to
+    RGB by the stdlib-only decoders, surfacing integer per-channel
+    pixel sums. The oracle replays the pixel formulas relationally
+    (lateral range joins), so any wrong stride, filter predictor, LZW
+    code width, palette entry, bit unpack, or channel order breaks
+    the match exactly.
     reference: n/a (multimodal plumbing is a north-rule addition)."""
     import pandas as pd  # noqa: PLC0415
 
@@ -1434,6 +1508,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_bmp,
         make_gif,
         make_png,
+        make_png16,
+        make_png_palette,
     )
 
     docs = (
@@ -1460,6 +1536,25 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     codec = "gif"
                     p = make_gif(nc % 19 + 1, mid % 11 + 1, seed=mid)
                     rgb = decode_gif(p)
+                elif mid % 3 == 1:
+                    codec = "png_pal"
+                    p = make_png_palette(
+                        nc % 23 + 1,
+                        mid % 13 + 1,
+                        seed=mid,
+                        depth=1 << ((mid // 4) % 4),
+                        filter_mode="mixed",
+                    )
+                    rgb = decode_png(p)
+                elif mid % 3 == 2:
+                    codec = "png16"
+                    p = make_png16(
+                        nc % 23 + 1,
+                        mid % 13 + 1,
+                        seed=mid,
+                        filter_mode="mixed",
+                    )
+                    rgb = decode_png(p)
                 else:
                     codec = "png"
                     p = make_png(
@@ -1548,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "iceberg_lite_scan": q_iceberg_lite_scan,
+        "iceberg_lite_deletes": q_iceberg_lite_deletes,
     }
 
 
@@ -2164,6 +2260,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS rows_selected
             FROM documents WHERE lang IS NOT NULL GROUP BY lang
         """,
+        # equality-delete replay: each snapshot state is a plain
+        # filter over the raw table (delete = % 7, re-add = % 21;
+        # a re-added row survives the earlier delete, so s3 = kept
+        # UNION re-added). Spark reads the SAME states through
+        # iceberg-lite time travel + delete anti-joins.
+        "iceberg_lite_deletes": f"""
+            WITH d AS (
+                SELECT {DOC_UID} AS uid, lang,
+                       coalesce(n_chars, 0) AS nc
+                FROM documents),
+            states AS (
+                SELECT 's1_initial' AS snap, uid, nc FROM d
+                UNION ALL
+                SELECT 's2_deleted', uid, nc FROM d WHERE uid % 7 <> 0
+                UNION ALL
+                SELECT 's3_readded', uid, nc FROM d
+                WHERE uid % 7 <> 0 OR uid % 21 = 0
+                UNION ALL
+                SELECT 's3_pruned', uid, nc FROM d
+                WHERE (uid % 7 <> 0 OR uid % 21 = 0)
+                  AND lang = (SELECT min(lang) FROM d
+                              WHERE lang IS NOT NULL)
+            )
+            SELECT snap,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(uid) AS BIGINT) AS sum_ids,
+                   CAST(sum(nc) AS BIGINT) AS sum_chars
+            FROM states GROUP BY snap
+        """,
         # the pixel-value formulas replayed relationally: unnest(range)
         # builds the (x, y) grid per image; the Spark side must recover
         # the exact per-channel pixel sums by decoding the REAL
@@ -2177,7 +2302,12 @@ def oracle_sql() -> dict[str, str]:
             dims AS (
                 SELECT media_id,
                        CASE media_id % 4 WHEN 0 THEN 'bmp'
-                            WHEN 2 THEN 'gif' ELSE 'png' END AS codec,
+                            WHEN 2 THEN 'gif'
+                            ELSE CASE media_id % 3
+                                 WHEN 1 THEN 'png_pal'
+                                 WHEN 2 THEN 'png16'
+                                 ELSE 'png' END
+                       END AS codec,
                        CASE media_id % 4
                             WHEN 0 THEN nc % 31 + 1
                             WHEN 2 THEN nc % 19 + 1
@@ -2185,7 +2315,11 @@ def oracle_sql() -> dict[str, str]:
                        CASE media_id % 4
                             WHEN 0 THEN media_id % 17 + 1
                             WHEN 2 THEN media_id % 11 + 1
-                            ELSE media_id % 13 + 1 END AS height
+                            ELSE media_id % 13 + 1 END AS height,
+                       -- palette size 2^depth, depth = 1<<((id//4)%4)
+                       CASE ((media_id // 4) % 4)
+                            WHEN 0 THEN 2 WHEN 1 THEN 4
+                            WHEN 2 THEN 16 ELSE 256 END AS npal
                 FROM m),
             px AS (
                 SELECT *, unnest(range(width)) AS x FROM dims),
@@ -2193,8 +2327,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, unnest(range(height)) AS y FROM px),
             vals AS (
                 SELECT media_id, codec, width, height,
-                       CASE WHEN codec = 'png'
+                       CASE WHEN codec IN ('png', 'png16')
                             THEN (3 * x + y + media_id) % 256
+                            WHEN codec = 'png_pal'
+                            THEN (x + y + media_id) % npal
                             ELSE (x + 2 * y + media_id) % 256
                        END AS base
                 FROM pxy)
@@ -2204,15 +2340,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE codec WHEN 'bmp'
                             THEN (base + 170) % 256
                             WHEN 'gif' THEN base
+                            WHEN 'png_pal' THEN (7 * base + media_id) % 256
                             ELSE base END) AS BIGINT) AS sum_r,
                    CAST(sum(CASE codec WHEN 'bmp'
                             THEN (base + 85) % 256
                             WHEN 'gif' THEN (base + 85) % 256
+                            WHEN 'png_pal' THEN (13 * base + media_id) % 256
                             ELSE (base + 60) % 256 END) AS BIGINT)
                        AS sum_g,
                    CAST(sum(CASE codec WHEN 'bmp'
                             THEN base
                             WHEN 'gif' THEN (base + 170) % 256
+                            WHEN 'png_pal' THEN (29 * base + media_id) % 256
                             ELSE (base + 120) % 256 END) AS BIGINT)
                        AS sum_b
             FROM vals
