@@ -25,9 +25,16 @@ What this implements (spec sections in parentheses):
   status=0 EXISTING, untouched manifests are carried forward, and
   prior snapshots still time-travel to the pre-overwrite data.
 
-Not implemented (documented scope): row-level delete files
-(content=1/2 — deletes here are file-granular via partition
-overwrite), non-identity transforms, schema evolution, format v3.
+- equality-delete commits (Spec: Row-Level Deletes, content=2):
+  ``delete_iceberg`` writes a parquet key list + a DELETE manifest
+  (content=1); the read path applies each delete to data files with
+  a strictly smaller sequence number via broadcast anti-joins, so
+  GDPR-style delete-by-key works without rewriting data files and
+  prior snapshots still time-travel to the undeleted rows.
+
+Not implemented (documented scope): positional delete files
+(content=1 data_file entries), non-identity transforms, schema
+evolution, format v3.
 Write path materialises one partition directory per distinct value
 via a filtered Spark write — fine for the fixture scales this
 sandbox tests; a production writer would single-pass ``partitionBy``
@@ -131,6 +138,16 @@ def _manifest_entry_schema(part_schema: dict) -> dict:
                         {
                             "name": "file_size_in_bytes",
                             "type": "long",
+                        },
+                        # content=2 (equality deletes) only: field ids
+                        # of the equality columns (Spec: Delete Files)
+                        {
+                            "name": "equality_ids",
+                            "type": [
+                                "null",
+                                {"type": "array", "items": "int"},
+                            ],
+                            "default": None,
                         },
                     ],
                 },
@@ -567,19 +584,151 @@ def write_iceberg(
     return snapshot_id
 
 
-def scan_files(
+def delete_iceberg(
+    df_deletes: DataFrame,
+    location: str,
+    equality_cols: list[str],
+) -> int:
+    """Equality-delete commit (Spec: Delete Files, content=2; Row-Level
+    Deletes). Writes the DISTINCT values of ``equality_cols`` from
+    ``df_deletes`` as a parquet delete file, adds a DELETE manifest
+    (manifest content=1, data_file content=2 with ``equality_ids``)
+    to a new snapshot, and returns the snapshot id.
+
+    Per the spec's sequence-number rule, the delete applies to data
+    files whose sequence number is STRICTLY LESS than the delete's —
+    rows appended after the delete are not affected, and prior
+    snapshots still time-travel to the undeleted data. Scope is
+    table-global (partition field summaries are left null), the
+    simplest spec-legal scope.
+    """
+    import pyarrow.parquet as pq
+
+    meta = _load_metadata(location)
+    partition_by = meta["_iceberg_lite_partition_by"]
+    schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    name_to_id = {f["name"]: f["id"] for f in schema_fields}
+    missing = [c for c in equality_cols if c not in name_to_id]
+    if missing:
+        raise ValueError(
+            f"equality columns {missing} not in table schema "
+            f"{sorted(name_to_id)}"
+        )
+    hint = os.path.join(location, "metadata", "version-hint.text")
+    with open(hint) as f:
+        version = int(f.read().strip())
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = seq
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, prior_manifests = read_avro(cur["manifest-list"])
+
+    out_dir = os.path.join(
+        location, "data", f"snap-{snapshot_id}-deletes"
+    )
+    df_deletes.select(*equality_cols).distinct().write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    eq_ids = [name_to_id[c] for c in equality_cols]
+    entries = []
+    deleted_rows = 0
+    for path in _list_parquet_files(out_dir):
+        pf = pq.ParquetFile(path)
+        deleted_rows += pf.metadata.num_rows
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 2,  # EQUALITY_DELETES
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {c: None for c in partition_by},
+                    "record_count": pf.metadata.num_rows,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "equality_ids": eq_ids,
+                },
+            }
+        )
+    part_schema = _partition_struct_schema(
+        partition_by, meta["schemas"][meta["current-schema-id"]]
+    )
+    manifest_path = os.path.join(
+        location, "metadata", f"manifest-{snapshot_id}-del.avro"
+    )
+    write_avro(
+        manifest_path, _manifest_entry_schema(part_schema), entries
+    )
+    manifest_rec = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 1,  # DELETES manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": deleted_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": None,  # global scope: no partition summaries
+    }
+    mlist_path = os.path.join(
+        location, "metadata", f"snap-{snapshot_id}-manifest-list.avro"
+    )
+    write_avro(
+        mlist_path,
+        _MANIFEST_FILE_SCHEMA,
+        prior_manifests + [manifest_rec],
+    )
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"].append(
+        {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": meta["last-updated-ms"],
+            "summary": {
+                "operation": "delete",
+                "added-delete-files": str(len(entries)),
+                "added-equality-delete-records": str(deleted_rows),
+            },
+            "manifest-list": mlist_path,
+            "schema-id": 0,
+        }
+    )
+    meta["snapshot-log"].append(
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": meta["last-updated-ms"],
+        }
+    )
+    _write_metadata(location, meta, version + 1)
+    return snapshot_id
+
+
+def _scan_plan(
     location: str,
     snapshot_id: int | None = None,
     where: dict[str, str] | None = None,
-) -> tuple[list[str], dict]:
-    """Scan planning: (parquet file list, lineage stats). ``where``
-    is an identity-partition equality filter {col: value}; pruning
-    happens FIRST at the manifest-list level (field summaries:
-    lower/upper bounds + contains_null), then per manifest entry.
-    The stats record how much each pruning level cut — the
-    per-partition lineage the north rule asks every stage to emit."""
+) -> tuple[list[tuple[str, int]], list[dict], dict]:
+    """Core scan planning: (data (path, seq) list, delete-file dicts,
+    lineage stats). Partition pruning happens FIRST at the
+    manifest-list level (field summaries: lower/upper bounds), then
+    per manifest entry. Equality deletes are global-scope, so a
+    partition-pruned scan still loads them (they are tiny key lists)."""
     meta = _load_metadata(location)
     partition_by = meta["_iceberg_lite_partition_by"]
+    schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    id_to_name = {f["id"]: f["name"] for f in schema_fields}
     sid = (
         meta["current-snapshot-id"]
         if snapshot_id is None
@@ -602,6 +751,8 @@ def scan_files(
         "files_total": 0,
         "files_selected": 0,
         "rows_selected": 0,
+        "delete_files_selected": 0,
+        "delete_rows_selected": 0,
     }
     where = where or {}
     for c in where:
@@ -610,8 +761,28 @@ def scan_files(
                 f"{c!r} is not a partition column {partition_by}"
             )
 
-    files: list[str] = []
+    data: list[tuple[str, int]] = []
+    deletes: list[dict] = []
     for mf in manifests:
+        if mf.get("content", 0) == 1:  # DELETE manifest
+            _, entries = read_avro(mf["manifest_path"])
+            for e in entries:
+                if e["status"] == 2:
+                    continue
+                dfile = e["data_file"]
+                deletes.append(
+                    {
+                        "path": dfile["file_path"],
+                        "seq": e["sequence_number"],
+                        "cols": [
+                            id_to_name[i]
+                            for i in dfile.get("equality_ids") or []
+                        ],
+                    }
+                )
+                stats["delete_files_selected"] += 1
+                stats["delete_rows_selected"] += dfile["record_count"]
+            continue
         skip = False
         if where and mf["partitions"]:
             for i, c in enumerate(partition_by):
@@ -638,10 +809,30 @@ def scan_files(
                 part.get(c) != str(v) for c, v in where.items()
             ):
                 continue
-            files.append(e["data_file"]["file_path"])
+            data.append(
+                (e["data_file"]["file_path"], e["sequence_number"])
+            )
             stats["files_selected"] += 1
             stats["rows_selected"] += e["data_file"]["record_count"]
-    return files, stats
+    return data, deletes, stats
+
+
+def scan_files(
+    location: str,
+    snapshot_id: int | None = None,
+    where: dict[str, str] | None = None,
+) -> tuple[list[str], dict]:
+    """Scan planning: (parquet file list, lineage stats). ``where``
+    is an identity-partition equality filter {col: value}; pruning
+    happens FIRST at the manifest-list level (field summaries:
+    lower/upper bounds + contains_null), then per manifest entry.
+    The stats record how much each pruning level cut — the
+    per-partition lineage the north rule asks every stage to emit.
+    NOTE: rows_selected counts PHYSICAL rows in selected data files;
+    pending equality deletes (stats['delete_rows_selected'] > 0) are
+    applied by ``read_iceberg``, not subtracted here."""
+    data, _deletes, stats = _scan_plan(location, snapshot_id, where)
+    return [p for p, _ in data], stats
 
 
 def read_iceberg(
@@ -653,13 +844,44 @@ def read_iceberg(
     """Load an iceberg-lite table as a DataFrame — current snapshot
     by default, any historical snapshot via ``snapshot_id`` (time
     travel), with identity-partition pruning via ``where`` so pruned
-    files are never opened by Spark."""
-    files, _ = scan_files(location, snapshot_id, where)
-    if not files:
+    files are never opened by Spark.
+
+    Equality deletes are applied per the spec's sequence-number rule:
+    a delete with sequence number s removes matching rows from data
+    files with sequence number < s only. Data files are grouped by
+    sequence number; each group anti-joins (broadcast — delete files
+    are small key lists) against the union of the applicable delete
+    keys per equality-column set."""
+    from pyspark.sql import functions as F
+
+    data, deletes, _ = _scan_plan(location, snapshot_id, where)
+    if not data:
         # empty selection: preserve schema from any snapshot file,
         # else fail clearly
-        all_files, _ = scan_files(location, snapshot_id)
-        if not all_files:
+        all_data, _, _ = _scan_plan(location, snapshot_id)
+        if not all_data:
             raise ValueError(f"{location}: snapshot has no data files")
-        return spark.read.parquet(all_files[0]).limit(0)
-    return spark.read.parquet(*files)
+        return spark.read.parquet(all_data[0][0]).limit(0)
+    if not deletes:
+        return spark.read.parquet(*[p for p, _ in data])
+
+    # group data files by sequence number: all files in a group see
+    # the same set of applicable deletes
+    by_seq: dict[int, list[str]] = {}
+    for path, seq in data:
+        by_seq.setdefault(seq, []).append(path)
+    out: DataFrame | None = None
+    for seq in sorted(by_seq):
+        part = spark.read.parquet(*by_seq[seq])
+        applicable = [d for d in deletes if d["seq"] > seq]
+        # one anti-join per distinct equality-column set
+        by_cols: dict[tuple[str, ...], list[str]] = {}
+        for d in applicable:
+            by_cols.setdefault(tuple(d["cols"]), []).append(d["path"])
+        for cols, paths in sorted(by_cols.items()):
+            keys = spark.read.parquet(*paths).select(*cols).distinct()
+            part = part.join(
+                F.broadcast(keys), on=list(cols), how="left_anti"
+            )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -306,3 +306,93 @@ def test_registry_overwrite_partitions_mode(spark, tmp_path):
         docs.limit(7), "documents", mode="overwrite_partitions"
     )
     assert reg.read("documents").count() == 7
+
+
+# ---------------------------------------------------------------------------
+# equality deletes (Spec: Row-Level Deletes, content=2)
+# ---------------------------------------------------------------------------
+
+
+def test_equality_delete_removes_keys(spark, table_loc):
+    from splink_spark.sources.iceberg_lite import delete_iceberg
+
+    docs = _docs(spark).select("doc_id", "lang", "n_chars")
+    s1 = write_iceberg(docs, table_loc, partition_by=["lang"])
+    n_all = docs.count()
+    victims = docs.filter("doc_id % 5 = 0")
+    n_victims = victims.count()
+    s2 = delete_iceberg(victims, table_loc, equality_cols=["doc_id"])
+    cur = read_iceberg(spark, table_loc)
+    assert cur.count() == n_all - n_victims
+    assert cur.filter("doc_id % 5 = 0").count() == 0
+    # time travel: s1 reads the PRE-delete table
+    assert read_iceberg(spark, table_loc, snapshot_id=s1).count() == n_all
+    # scan stats surface the pending delete
+    _, stats = scan_files(table_loc, snapshot_id=s2)
+    assert stats["delete_files_selected"] >= 1
+    assert stats["delete_rows_selected"] == n_victims
+
+
+def test_equality_delete_sequence_number_rule(spark, table_loc):
+    """A row re-appended AFTER a delete commit survives: deletes
+    apply only to data files with strictly smaller sequence numbers."""
+    from pyspark.sql import functions as F
+
+    from splink_spark.sources.iceberg_lite import delete_iceberg
+
+    docs = _docs(spark).select("doc_id", "lang", "n_chars")
+    write_iceberg(docs, table_loc, partition_by=["lang"])
+    victims = docs.filter("doc_id % 5 = 0")
+    delete_iceberg(victims, table_loc, equality_cols=["doc_id"])
+    # re-append a subset of the deleted rows with a sentinel n_chars
+    readd = victims.filter("doc_id % 10 = 0").withColumn(
+        "n_chars", F.lit(-1)
+    )
+    n_readd = readd.count()
+    write_iceberg(readd, table_loc, mode="append")
+    cur = read_iceberg(spark, table_loc)
+    survivors = cur.filter("doc_id % 5 = 0")
+    assert survivors.count() == n_readd
+    # every survivor is the re-appended copy, not the deleted one
+    assert survivors.filter("n_chars <> -1").count() == 0
+
+
+def test_equality_delete_multiple_column_sets(spark, table_loc):
+    """Two delete commits with different equality columns compose."""
+    from splink_spark.sources.iceberg_lite import delete_iceberg
+
+    docs = _docs(spark).select("doc_id", "lang", "n_chars")
+    write_iceberg(docs, table_loc, partition_by=["lang"])
+    langs = sorted(
+        r["lang"]
+        for r in docs.select("lang").distinct().collect()
+        if r["lang"] is not None
+    )
+    kill_lang = langs[0]
+    delete_iceberg(
+        docs.filter("doc_id % 3 = 0"), table_loc,
+        equality_cols=["doc_id"],
+    )
+    delete_iceberg(
+        docs.filter(docs.lang == kill_lang).limit(1), table_loc,
+        equality_cols=["lang"],
+    )
+    cur = read_iceberg(spark, table_loc)
+    expect = docs.filter(
+        f"doc_id % 3 <> 0 AND (lang IS NULL OR lang <> '{kill_lang}')"
+    ).count()
+    assert cur.count() == expect
+    # partition pruning composes with deletes
+    other = read_iceberg(spark, table_loc, where={"lang": langs[1]})
+    assert other.count() == docs.filter(
+        f"lang = '{langs[1]}' AND doc_id % 3 <> 0"
+    ).count()
+
+
+def test_equality_delete_rejects_unknown_column(spark, table_loc):
+    from splink_spark.sources.iceberg_lite import delete_iceberg
+
+    docs = _docs(spark).select("doc_id", "lang")
+    write_iceberg(docs, table_loc)
+    with pytest.raises(ValueError, match="not in table schema"):
+        delete_iceberg(docs, table_loc, equality_cols=["nope"])
