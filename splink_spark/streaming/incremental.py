@@ -140,3 +140,70 @@ def stream_windowed_event_counts(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_sessionize(
+    events_stream: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+    gap_minutes: float = 30.0,
+    watermark_delay: str = "30 minutes",
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming gap-based sessionization — the streaming mirror of
+    ``operators.sessions.sessionize`` + ``session_stats``, built on
+    Spark's native ``session_window`` (dynamic-gap session windows
+    merged by the state store, not a custom stateful UDF).
+
+    Semantics match the batch operator: a session extends while
+    consecutive events are within ``gap_minutes`` of each other; its
+    row (user, session start/end, n_events, duration_us, sum_value)
+    is emitted exactly once, when the watermark passes the session's
+    close (append mode). ``duration_us`` is last-minus-first event
+    time in integer microseconds — session_window's ``end`` includes
+    the trailing gap, so the span is aggregated from the event
+    timestamps themselves, exactly like the batch ``session_stats``.
+
+    State per (user, open session) is bounded by the watermark:
+    events later than ``watermark_delay`` are dropped and a closed
+    session's state is evicted — constant memory at any stream
+    length, the property a driver-side batch window would not have.
+    """
+    from pyspark.sql import functions as F
+
+    gap_expr = f"{int(gap_minutes * 60)} seconds"
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+    ]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    agg = (
+        events_stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), gap_expr).alias("sw"),
+        )
+        .agg(*aggs)
+        .select(
+            user_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "duration_us",
+            *(["sum_value"] if value_col else []),
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

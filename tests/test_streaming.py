@@ -181,3 +181,84 @@ def test_stream_windowed_counts_with_watermark(spark, tmp_path_factory):
     assert got[(0, "view")] == 1
     assert got[(5, "click")] == 1
     assert (30, "view") in got  # emitted once batch 2 advanced the mark
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path_factory):
+    """session_window streaming mirror: per-session aggregates from
+    the stream equal the batch sessionize + session_stats on the same
+    events (consistency gate from VERDICT r4 task 8), and a session
+    is emitted only after the watermark passes its close."""
+    import time
+    from datetime import datetime
+
+    from splink_spark.operators.sessions import (
+        session_stats,
+        sessionize,
+    )
+    from splink_spark.streaming.incremental import stream_sessionize
+
+    root = tmp_path_factory.mktemp("sessstream")
+    src = root / "src"
+    out = root / "out"
+    ck = root / "ck"
+    src.mkdir()
+
+    t = lambda m, s=0: datetime(2024, 1, 1, m // 60, m % 60, s)
+    rows = [
+        # user A: two sessions split by a >30m gap
+        (1, "a", t(0), 1.0),
+        (2, "a", t(10), 2.0),
+        (3, "a", t(20), 3.0),
+        (4, "a", t(70), 4.0),   # gap 50m -> new session
+        (5, "a", t(80), 5.0),
+        # user B: one session
+        (6, "b", t(5), 10.0),
+        (7, "b", t(25), 20.0),
+        # sentinel far ahead: advances the watermark past every
+        # session close so append mode emits them all
+        (8, "z", t(600), 0.0),
+    ]
+    schema = "event_id long, user_id string, ts timestamp, value double"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = stream_sessionize(
+        stream, str(out), str(ck), gap_minutes=30.0,
+        watermark_delay="30 minutes", trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["n_events"], r["duration_us"], r["sum_value"]
+        )
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # batch reference on the same rows (sentinel included — it forms
+    # its own session, emitted or not depending on the watermark; all
+    # NON-sentinel sessions must be present and equal)
+    batch = spark.createDataFrame(rows, schema)
+    ref = {
+        (r["user_id"], r["min_ts"]): (
+            r["n_events"], r["duration_us"], r["sum_value"]
+        )
+        for r in session_stats(
+            sessionize(batch, gap_minutes=30.0), value_col="value"
+        )
+        .join(
+            sessionize(batch, gap_minutes=30.0)
+            .groupBy("user_id", "session_idx")
+            .agg(F.min("ts").alias("min_ts")),
+            ["user_id", "session_idx"],
+        )
+        .collect()
+        if r["user_id"] != "z"
+    }
+    assert len(ref) == 3
+    for key, want in ref.items():
+        assert got[key] == want, (key, got.get(key), want)
+    # the sentinel's own session closes only when a LATER watermark
+    # passes it — it must not have been emitted in this batch
+    assert ("z", t(600)) not in got
