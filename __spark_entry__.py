@@ -1492,21 +1492,26 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Average/Paeth unfiltering all execute; the PNG arm splits three
     ways into 8-bit RGB, PALETTE at bit depth 1/2/4/8 via PLTE lookup
     + sub-byte unpacking, and 16-BIT RGB via high-byte downshift),
-    GIFs through the from-scratch LZW codec — then decoded back to
-    RGB by the stdlib-only decoders, surfacing integer per-channel
+    GIFs through the from-scratch LZW codec, and BASELINE JPEGs
+    through the full Huffman + dequant + IDCT path (DC-exact
+    synthesis: all-ones quant table + constant 8x8 blocks, so the
+    lossy-codec decode is still bit-reproducible) — then decoded back
+    to RGB by the stdlib-only decoders, surfacing integer per-channel
     pixel sums. The oracle replays the pixel formulas relationally
     (lateral range joins), so any wrong stride, filter predictor, LZW
-    code width, palette entry, bit unpack, or channel order breaks
-    the match exactly.
+    code width, palette entry, bit unpack, Huffman code, DC
+    prediction, or channel order breaks the match exactly.
     reference: n/a (multimodal plumbing is a north-rule addition)."""
     import pandas as pd  # noqa: PLC0415
 
     from splink_spark.multimodal import (
         decode_bmp,
         decode_gif,
+        decode_jpeg,
         decode_png,
         make_bmp,
         make_gif,
+        make_jpeg,
         make_png,
         make_png16,
         make_png_palette,
@@ -1514,7 +1519,6 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         _docs(spark, sf_dir)
-        .filter(F.col(DOC_UID) % 4 < 3)
         .select(
             F.col(DOC_UID).alias("media_id"),
             F.coalesce(F.col("n_chars"), F.lit(0))
@@ -1532,6 +1536,10 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     codec = "bmp"
                     p = make_bmp(nc % 31 + 1, mid % 17 + 1, seed=mid)
                     rgb = decode_bmp(p)
+                elif mid % 4 == 3:
+                    codec = "jpeg"
+                    p = make_jpeg(nc % 29 + 1, mid % 15 + 1, seed=mid)
+                    rgb = decode_jpeg(p)
                 elif mid % 4 == 2:
                     codec = "gif"
                     p = make_gif(nc % 19 + 1, mid % 11 + 1, seed=mid)
@@ -2298,11 +2306,12 @@ def oracle_sql() -> dict[str, str]:
             WITH m AS (
                 SELECT {DOC_UID} AS media_id,
                        CAST(coalesce(n_chars, 0) AS BIGINT) AS nc
-                FROM documents WHERE {DOC_UID} % 4 < 3),
+                FROM documents),
             dims AS (
                 SELECT media_id,
                        CASE media_id % 4 WHEN 0 THEN 'bmp'
                             WHEN 2 THEN 'gif'
+                            WHEN 3 THEN 'jpeg'
                             ELSE CASE media_id % 3
                                  WHEN 1 THEN 'png_pal'
                                  WHEN 2 THEN 'png16'
@@ -2311,10 +2320,12 @@ def oracle_sql() -> dict[str, str]:
                        CASE media_id % 4
                             WHEN 0 THEN nc % 31 + 1
                             WHEN 2 THEN nc % 19 + 1
+                            WHEN 3 THEN nc % 29 + 1
                             ELSE nc % 23 + 1 END AS width,
                        CASE media_id % 4
                             WHEN 0 THEN media_id % 17 + 1
                             WHEN 2 THEN media_id % 11 + 1
+                            WHEN 3 THEN media_id % 15 + 1
                             ELSE media_id % 13 + 1 END AS height,
                        -- palette size 2^depth, depth = 1<<((id//4)%4)
                        CASE ((media_id // 4) % 4)
@@ -2331,6 +2342,11 @@ def oracle_sql() -> dict[str, str]:
                             THEN (3 * x + y + media_id) % 256
                             WHEN codec = 'png_pal'
                             THEN (x + y + media_id) % npal
+                            WHEN codec = 'jpeg'
+                            -- DC-exact blocks: value depends only on
+                            -- the 8x8 block coordinates
+                            THEN (3 * (x // 8) + 2 * (y // 8)
+                                  + media_id) % 256
                             ELSE (x + 2 * y + media_id) % 256
                        END AS base
                 FROM pxy)
@@ -2340,17 +2356,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE codec WHEN 'bmp'
                             THEN (base + 170) % 256
                             WHEN 'gif' THEN base
+                            WHEN 'jpeg' THEN base
                             WHEN 'png_pal' THEN (7 * base + media_id) % 256
                             ELSE base END) AS BIGINT) AS sum_r,
                    CAST(sum(CASE codec WHEN 'bmp'
                             THEN (base + 85) % 256
                             WHEN 'gif' THEN (base + 85) % 256
+                            WHEN 'jpeg' THEN base
                             WHEN 'png_pal' THEN (13 * base + media_id) % 256
                             ELSE (base + 60) % 256 END) AS BIGINT)
                        AS sum_g,
                    CAST(sum(CASE codec WHEN 'bmp'
                             THEN base
                             WHEN 'gif' THEN (base + 170) % 256
+                            WHEN 'jpeg' THEN base
                             WHEN 'png_pal' THEN (29 * base + media_id) % 256
                             ELSE (base + 120) % 256 END) AS BIGINT)
                        AS sum_b

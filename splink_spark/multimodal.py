@@ -466,14 +466,407 @@ def _image_features(rgb: np.ndarray, dim: int = _FEATURE_DIM) -> np.ndarray:
     return np.asarray(feats[:dim], dtype=np.float32)
 
 
+# ---------------------------------------------------------------------------
+# baseline JPEG (public ITU-T T.81 spec; JFIF color convention) —
+# marker walk, canonical Huffman, dequantize, zigzag, separable IDCT,
+# chroma upsample, YCbCr->RGB. Pure numpy + stdlib; entropy decoding
+# is a per-bit Python loop (fine for fixture-scale payloads — at
+# pipeline scale the decode runs inside mapInPandas across executors,
+# so per-image cost parallelizes like any other Pandas UDF).
+# ---------------------------------------------------------------------------
+
+# zigzag scan order -> natural (row*8+col) index (T.81 Figure 5)
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# 8x8 DCT-II basis: C[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+_JPEG_DCT = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+# Annex K.3 typical Huffman tables (BITS = #codes of length 1..16)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huffman_codes(
+    bits: list[int], vals: list[int]
+) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman codes per T.81 Annex C: value -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over a de-stuffed entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bit(self) -> int:
+        byte = self.data[self.pos >> 3]
+        b = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map an s-bit magnitude to its signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """REAL decode of a baseline sequential JPEG (SOF0, Huffman, 8-bit)
+    into an (h, w, 3) uint8 RGB array — full marker walk, DQT (8/16
+    bit), multi-table DHT, DRI restart intervals, grayscale or 3
+    components with sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0),
+    dequantize + zigzag + separable float IDCT, nearest-neighbour
+    chroma upsampling, JFIF YCbCr->RGB. Raises ValueError on
+    progressive (SOF2), arithmetic-coded, or 12-bit streams."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict[tuple[int, int], int]] = {}
+    huff_ac: dict[int, dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        seg = payload[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq:
+                    tbl = np.frombuffer(
+                        seg, dtype=">u2", count=64, offset=i
+                    ).astype(np.int64)
+                    i += 128
+                else:
+                    tbl = np.frombuffer(
+                        seg, dtype=np.uint8, count=64, offset=i
+                    ).astype(np.int64)
+                    i += 64
+                qt[tq] = tbl  # zigzag order
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17:i + 17 + n])
+                i += 17 + n
+                # reverse map for decoding: (length, code) -> value
+                fwd = _huffman_codes(bits, vals)
+                rev = {(ln, code): v for v, (code, ln) in fwd.items()}
+                (huff_dc if tc == 0 else huff_ac)[th] = rev
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            if any(
+                c["h"] not in (1, 2) or c["v"] not in (1, 2)
+                for c in comps
+            ):
+                raise ValueError("sampling factors above 2 unsupported")
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline JPEG (SOF marker 0x{marker:02x})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan_sel = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_sel.append((cs, tdta >> 4, tdta & 0x0F))
+            data_start = pos + seglen
+            return _decode_jpeg_scan(
+                payload, data_start, frame, scan_sel, qt,
+                huff_dc, huff_ac, restart_interval,
+            )
+        # APPn / COM / others: skip
+        pos += seglen
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _decode_jpeg_scan(
+    payload: bytes,
+    pos: int,
+    frame: dict,
+    scan_sel: list[tuple[int, int, int]],
+    qt: dict,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+) -> np.ndarray:
+    # de-stuff the entropy stream, splitting at RST markers
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    n = len(payload)
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        m = payload[i + 1] if i + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or next marker
+            break
+    segments.append(bytes(cur))
+
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scan_sel:
+        c = by_id[cs]
+        order.append((c, td, ta))
+    planes = {
+        c["id"]: np.zeros(
+            (mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), dtype=np.float64
+        )
+        for c in comps
+    }
+    pred = {c["id"]: 0 for c in comps}
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                seg_idx += 1
+                reader = _BitReader(segments[seg_idx])
+                pred = {c["id"]: 0 for c in comps}
+            for c, td, ta in order:
+                q = qt[c["tq"]]
+                dct = huff_dc[td]
+                act = huff_ac[ta]
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _huff_decode(reader, dct)
+                        diff = _extend(reader.bits(s), s) if s else 0
+                        pred[c["id"]] += diff
+                        zz[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(reader.bits(s), s)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[_JPEG_ZIGZAG] = zz * q
+                        spatial = (
+                            _JPEG_DCT.T @ blk.reshape(8, 8) @ _JPEG_DCT
+                        ) + 128.0
+                        y0 = (my * c["v"] + v) * 8
+                        x0 = (mx * c["h"] + hh) * 8
+                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = spatial
+            mcu += 1
+
+    # upsample each component to full MCU-grid resolution, then crop
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        if c["h"] < hmax:
+            p = np.repeat(p, hmax // c["h"], axis=1)
+        if c["v"] < vmax:
+            p = np.repeat(p, vmax // c["v"], axis=0)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def make_jpeg(width: int, height: int, seed: int = 0) -> bytes:
+    """Valid baseline grayscale JFIF JPEG whose decode is EXACT:
+    quantization table all-ones and every 8x8 block a constant value
+    ``(3*bx + 2*by + seed) % 256`` (bx, by = block coordinates), so
+    each block is DC-only (AC all zero), the quantized DC
+    ``8*(g-128)`` is exact, and the IDCT reproduces g to the bit —
+    pixel(x, y) = (3*(x//8) + 2*(y//8) + seed) % 256, relationally
+    replayable by the decode oracle. Uses the Annex K typical Huffman
+    tables (embedded in DHT, so the file is self-consistent)."""
+    bx = (width + 7) // 8
+    by = (height + 7) // 8
+    dc_codes = _huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    eob_code, eob_len = ac_codes[0x00]
+
+    out_bits: list[tuple[int, int]] = []  # (value, nbits)
+    pred = 0
+    for j in range(by):
+        for i in range(bx):
+            g = (3 * i + 2 * j + seed) % 256
+            dc = 8 * (g - 128)
+            diff = dc - pred
+            pred = dc
+            mag = abs(diff)
+            s = mag.bit_length()
+            code, ln = dc_codes[s]
+            out_bits.append((code, ln))
+            if s:
+                v = diff if diff >= 0 else diff + (1 << s) - 1
+                out_bits.append((v & ((1 << s) - 1), s))
+            out_bits.append((eob_code, eob_len))
+
+    # pack MSB-first, pad with 1s, byte-stuff FF -> FF 00
+    acc = 0
+    nacc = 0
+    raw = bytearray()
+    for v, ln in out_bits:
+        acc = (acc << ln) | v
+        nacc += ln
+        while nacc >= 8:
+            raw.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+    if nacc:
+        raw.append(((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF)
+    stuffed = bytearray()
+    for b in raw:
+        stuffed.append(b)
+        if b == 0xFF:
+            stuffed.append(0x00)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(body) + 2
+        ) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 1)
+        + bytes([1, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + dqt + sof + dht + sos + bytes(stuffed) + b"\xff\xd9"
+    )
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode + featurize an image payload.
 
     Uncompressed 24-bit BMP, non-interlaced PNG (gray/RGB/RGBA/palette
-    at depths 1-16) and single-frame GIF decode for REAL (header +
-    numpy + stdlib zlib + from-scratch LZW, see decode_bmp /
-    decode_png / decode_gif). Remaining codecs (JPEG, interlaced PNG,
-    animated GIF) need libraries absent from this container:
+    at depths 1-16), single-frame GIF and BASELINE JPEG (SOF0 Huffman,
+    grayscale / 4:4:4 / 4:2:2 / 4:2:0) decode for REAL (header + numpy
+    + stdlib zlib + from-scratch LZW / Huffman + IDCT, see decode_bmp
+    / decode_png / decode_gif / decode_jpeg). Remaining flavours
+    (progressive/arithmetic JPEG, interlaced PNG, animated GIF) raise
     NotImplementedError unless ``fake=True``, which substitutes the
     deterministic md5-seeded pseudo-decoder."""
     if payload and payload[:2] == b"BM":
@@ -494,13 +887,19 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         except (ValueError, struct.error, IndexError):
             if not fake:
                 raise
+    if payload and payload[:2] == b"\xff\xd8":
+        try:
+            return _image_features(decode_jpeg(payload))
+        except (ValueError, struct.error, IndexError, KeyError):
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
             "decoding this format requires an imaging library not "
             "present in this environment; pass fake=True for the "
             "deterministic stub (uncompressed 24-bit BMP, "
-            "gray/RGB/RGBA/palette PNG at depths 1-16 and "
-            "single-frame GIF decode for real)"
+            "gray/RGB/RGBA/palette PNG at depths 1-16, single-frame "
+            "GIF and baseline JPEG decode for real)"
         )
     return _fake_features(payload)
 

@@ -95,7 +95,11 @@ def test_gif_and_garbage():
 
 
 def test_decode_image_unsupported_raises():
+    # TIFF magic: no real decoder for it
     with pytest.raises(NotImplementedError):
+        decode_image(b"II*\x00 tiff-ish")
+    # corrupt JPEG-ish bytes now hit the REAL jpeg branch -> ValueError
+    with pytest.raises((ValueError, struct.error)):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
     # fake path still deterministic
     a = decode_image(b"\xff\xd8\xff\xe0 jpeg-ish", fake=True)
@@ -379,3 +383,289 @@ def test_decode_image_gif_branch():
     assert raised
     f = decode_image(bytes(p), fake=True)
     assert len(f) == 16
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_dc_exact_roundtrip():
+    """make_jpeg's DC-only grayscale synthesis decodes bit-exactly:
+    all-ones quant + constant 8x8 blocks make the lossy codec
+    reproducible (the property the driver oracle relies on)."""
+    from splink_spark.multimodal import decode_jpeg, make_jpeg
+
+    for w, h, s in [(1, 1, 0), (8, 8, 3), (17, 9, 7), (64, 48, 99),
+                    (5, 40, 1), (29, 15, 1234)]:
+        rgb = decode_jpeg(make_jpeg(w, h, seed=s))
+        assert rgb.shape == (h, w, 3)
+        y, x = np.mgrid[0:h, 0:w]
+        g = (3 * (x // 8) + 2 * (y // 8) + s) % 256
+        np.testing.assert_array_equal(
+            rgb, np.repeat(g[:, :, None], 3, axis=2),
+            err_msg=f"{w}x{h} seed={s}",
+        )
+
+
+def _jpeg_from_blocks(comps, blocks, qtables, width, height, dri=0):
+    """Test-side encoder: build a baseline JPEG from QUANTIZED
+    coefficient blocks (natural 8x8 order) so the decoder's AC/run
+    -length/ZRL/restart paths can be driven precisely.
+
+    comps: [(comp_id, h_samp, v_samp, tq)]; blocks: {comp_id:
+    [8x8 int arrays in MCU-interleaved order]}; qtables: {tq: 64
+    ints, natural order}."""
+    import struct as _struct
+
+    from splink_spark.multimodal import (
+        _JPEG_AC_BITS, _JPEG_AC_VALS, _JPEG_DC_BITS, _JPEG_DC_VALS,
+        _JPEG_ZIGZAG, _huffman_codes,
+    )
+
+    dc_codes = _huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+
+    bits: list[tuple[int, int]] = []
+
+    def put(code, ln):
+        bits.append((code, ln))
+
+    def put_coef(v):
+        s = abs(v).bit_length()
+        return s, (v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1)
+
+    segments = []
+    pred = {c[0]: 0 for c in comps}
+    idx = {c[0]: 0 for c in comps}
+    mcu = 0
+    for _my in range(mcus_y):
+        for _mx in range(mcus_x):
+            if dri and mcu and mcu % dri == 0:
+                segments.append(list(bits))
+                bits.clear()
+                pred = {c[0]: 0 for c in comps}
+            for cid, hs, vs, _tq in comps:
+                for _ in range(hs * vs):
+                    blk = blocks[cid][idx[cid]]
+                    idx[cid] += 1
+                    zz = blk.reshape(64)[_JPEG_ZIGZAG]
+                    diff = int(zz[0]) - pred[cid]
+                    pred[cid] = int(zz[0])
+                    s, v = put_coef(diff)
+                    put(*dc_codes[s])
+                    if s:
+                        put(v, s)
+                    # AC: explicit run-length walk (ZRL for 16+ zeros,
+                    # EOB only when trailing zeros remain)
+                    run = 0
+                    for k in range(1, 64):
+                        if zz[k] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            put(*ac_codes[0xF0])  # ZRL
+                            run -= 16
+                        s, v = put_coef(int(zz[k]))
+                        put(*ac_codes[(run << 4) | s])
+                        put(v, s)
+                        run = 0
+                    if run:
+                        put(*ac_codes[0x00])  # EOB
+            mcu += 1
+    segments.append(list(bits))
+
+    def pack(bit_list):
+        acc = n = 0
+        raw = bytearray()
+        for v, ln in bit_list:
+            acc = (acc << ln) | v
+            n += ln
+            while n >= 8:
+                raw.append((acc >> (n - 8)) & 0xFF)
+                n -= 8
+        if n:
+            raw.append(((acc << (8 - n)) | ((1 << (8 - n)) - 1)) & 0xFF)
+        stuffed = bytearray()
+        for b in raw:
+            stuffed.append(b)
+            if b == 0xFF:
+                stuffed.append(0x00)
+        return bytes(stuffed)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _struct.pack(
+            ">H", len(body) + 2
+        ) + body
+
+    out = b"\xff\xd8"
+    for tq, tbl in qtables.items():
+        zz = np.asarray(tbl).reshape(64)[_JPEG_ZIGZAG]
+        out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in zz))
+    sof = _struct.pack(">BHHB", 8, height, width, len(comps))
+    for cid, hs, vs, tq in comps:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += seg(0xC0, sof)
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    if dri:
+        out += seg(0xDD, _struct.pack(">H", dri))
+    sos = bytes([len(comps)])
+    for cid, *_ in comps:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    for i, s_bits in enumerate(segments):
+        out += pack(s_bits)
+        if i < len(segments) - 1:
+            out += bytes([0xFF, 0xD0 + (i % 8)])
+    return out + b"\xff\xd9"
+
+
+def _reference_idct(coeff):
+    """Independent direct-formula IDCT (T.81 A.3.3 double loop) — a
+    DIFFERENT implementation than the decoder's matrix product."""
+    out = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    acc += (
+                        cu * cv * coeff[u, v]
+                        * np.cos((2 * x + 1) * v * np.pi / 16)
+                        * np.cos((2 * y + 1) * u * np.pi / 16)
+                    )
+            out[y, x] = acc / 4.0
+    return out
+
+
+def test_jpeg_ac_coefficients_vs_reference_idct():
+    """Nonzero AC coefficients (plus a 16-zero gap exercising ZRL)
+    decode to the independent direct-formula IDCT within 1 LSB."""
+    from splink_spark.multimodal import decode_jpeg
+
+    rng = np.random.default_rng(7)
+    q = np.ones(64, dtype=int)
+    blk = np.zeros((8, 8), dtype=int)
+    blk[0, 0] = 37
+    blk[0, 1] = -14
+    blk[1, 0] = 9
+    blk[2, 3] = 5
+    blk[7, 7] = -3  # forces a long zero run -> ZRL path
+    blocks = {1: [blk]}
+    payload = _jpeg_from_blocks(
+        [(1, 1, 1, 0)], blocks, {0: q}, width=8, height=8
+    )
+    got = decode_jpeg(payload)[:, :, 0].astype(float)
+    want = np.clip(np.round(_reference_idct(blk.astype(float)) + 128), 0, 255)
+    assert np.abs(got - want).max() <= 1
+    # and a random dense block
+    blk2 = rng.integers(-40, 40, size=(8, 8))
+    payload = _jpeg_from_blocks(
+        [(1, 1, 1, 0)], {1: [blk2]}, {0: q}, width=8, height=8
+    )
+    got = decode_jpeg(payload)[:, :, 0].astype(float)
+    want = np.clip(
+        np.round(_reference_idct(blk2.astype(float)) + 128), 0, 255
+    )
+    assert np.abs(got - want).max() <= 1
+
+
+def test_jpeg_quant_table_applied():
+    """A non-trivial quantization table must scale coefficients."""
+    from splink_spark.multimodal import decode_jpeg
+
+    q = np.full(64, 4, dtype=int)
+    blk = np.zeros((8, 8), dtype=int)
+    blk[0, 0] = 64  # dequantized DC = 256 -> flat value 32 + 128
+    payload = _jpeg_from_blocks(
+        [(1, 1, 1, 0)], {1: [blk]}, {0: q}, width=8, height=8
+    )
+    got = decode_jpeg(payload)
+    assert (got == 160).all()
+
+
+def test_jpeg_color_420_and_422():
+    """3-component decode with chroma subsampling: constant DC-only
+    planes -> exact JFIF YCbCr->RGB values after upsampling."""
+    from splink_spark.multimodal import decode_jpeg
+
+    def const_block(val):
+        b = np.zeros((8, 8), dtype=int)
+        b[0, 0] = 8 * (val - 128)
+        return b
+
+    yv, cbv, crv = 120, 90, 170
+    for (hs, vs), n_luma in [((2, 2), 4), ((2, 1), 2)]:
+        comps = [(1, hs, vs, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
+        blocks = {
+            1: [const_block(yv)] * n_luma,
+            2: [const_block(cbv)],
+            3: [const_block(crv)],
+        }
+        payload = _jpeg_from_blocks(
+            comps, blocks, {0: np.ones(64, dtype=int)},
+            width=8 * hs, height=8 * vs,
+        )
+        got = decode_jpeg(payload)
+        r = np.clip(round(yv + 1.402 * (crv - 128)), 0, 255)
+        g = np.clip(
+            round(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128)),
+            0, 255,
+        )
+        b = np.clip(round(yv + 1.772 * (cbv - 128)), 0, 255)
+        assert got.shape == (8 * vs, 8 * hs, 3)
+        assert np.abs(got.astype(int) - np.array([r, g, b])).max() <= 1
+
+
+def test_jpeg_restart_intervals_reset_dc():
+    """DRI=1: every MCU is its own entropy segment; DC predictors
+    reset at each RST marker."""
+    from splink_spark.multimodal import decode_jpeg
+
+    def const_block(val):
+        b = np.zeros((8, 8), dtype=int)
+        b[0, 0] = 8 * (val - 128)
+        return b
+
+    vals = [10, 200, 60, 145]
+    blocks = {1: [const_block(v) for v in vals]}
+    payload = _jpeg_from_blocks(
+        [(1, 1, 1, 0)], blocks, {0: np.ones(64, dtype=int)},
+        width=32, height=8, dri=1,
+    )
+    got = decode_jpeg(payload)
+    for i, v in enumerate(vals):
+        assert (got[:, 8 * i:8 * (i + 1), :] == v).all(), (i, v)
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    from splink_spark.multimodal import decode_jpeg, make_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    # flip SOF0 -> SOF2 (progressive) in a valid stream
+    p = bytearray(make_jpeg(16, 16, seed=1))
+    i = bytes(p).index(b"\xff\xc0")
+    p[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(p))
+
+
+def test_decode_image_jpeg_branch():
+    from splink_spark.multimodal import decode_image, make_jpeg
+
+    f = decode_image(make_jpeg(24, 16, seed=5), fake=False)
+    assert f.shape and f.dtype == np.float32
+    assert float(f[0]) == 24.0 and float(f[1]) == 16.0
