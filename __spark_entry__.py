@@ -1485,6 +1485,75 @@ def q_iceberg_lite_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_iceberg_lite_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iceberg-lite ADD-COLUMN schema evolution (Iceberg v2 Schema
+    Evolution): documents are committed WITHOUT n_chars (snapshot s1,
+    schema 0), then an append carrying the new n_chars column for the
+    doc_id % 5 == 0 subset registers schema 1 (fresh field id, old
+    ids preserved). The surface reads s1 through time travel (its own
+    pre-evolution schema: sum_chars is NULL), the evolved current
+    state (old rows read n_chars as null, appended rows carry it),
+    and a partition-pruned read — so the oracle breaks if evolution
+    leaks across snapshots, mergeSchema drops rows, or nulls are
+    miscounted. reference: n/a (storage layer is a north-rule
+    addition)."""
+    import shutil
+    import tempfile
+
+    from splink_spark.sources.iceberg_lite import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    docs = _docs(spark, sf_dir).select(F.col(DOC_UID), "lang")
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        f"splink_spark_iceberg_evo_{abs(hash(sf_dir)) % 10**8}",
+    )
+    shutil.rmtree(loc, ignore_errors=True)
+    s1 = write_iceberg(docs, loc, partition_by=["lang"])
+    extra = (
+        _docs(spark, sf_dir)
+        .select(
+            F.col(DOC_UID),
+            "lang",
+            F.coalesce(F.col("n_chars"), F.lit(0))
+            .cast("long")
+            .alias("n_chars"),
+        )
+        .filter(F.col(DOC_UID) % 5 == 0)
+    )
+    write_iceberg(extra, loc, mode="append")
+    min_lang = (
+        docs.filter(F.col("lang").isNotNull())
+        .agg(F.min("lang"))
+        .collect()[0][0]
+    )
+
+    def state(label: str, df: DataFrame) -> DataFrame:
+        chars = (
+            F.sum("n_chars").cast("long")
+            if "n_chars" in df.columns
+            else F.lit(None).cast("long")
+        )
+        return df.agg(
+            F.lit(label).alias("snap"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(DOC_UID)).cast("long").alias("sum_ids"),
+            chars.alias("sum_chars"),
+        )
+
+    out = state("s1_initial", read_iceberg(spark, loc, snapshot_id=s1))
+    out = out.unionByName(state("s2_evolved", read_iceberg(spark, loc)))
+    out = out.unionByName(
+        state(
+            "s2_pruned",
+            read_iceberg(spark, loc, where={"lang": min_lang}),
+        )
+    )
+    return out
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode loop (fake=False end to end): deterministic
     BMP, PNG and GIF payloads are synthesized per document — PNGs with
@@ -1652,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "iceberg_lite_scan": q_iceberg_lite_scan,
         "iceberg_lite_deletes": q_iceberg_lite_deletes,
+        "iceberg_lite_evolution": q_iceberg_lite_evolution,
     }
 
 
@@ -2288,6 +2358,38 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 's3_pruned', uid, nc FROM d
                 WHERE (uid % 7 <> 0 OR uid % 21 = 0)
+                  AND lang = (SELECT min(lang) FROM d
+                              WHERE lang IS NOT NULL)
+            )
+            SELECT snap,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(uid) AS BIGINT) AS sum_ids,
+                   CAST(sum(nc) AS BIGINT) AS sum_chars
+            FROM states GROUP BY snap
+        """,
+        # add-column evolution replay: s1 has NO n_chars column (NULL
+        # sum), the evolved state is all original rows (null n_chars)
+        # plus the appended % 5 subset carrying it
+        "iceberg_lite_evolution": f"""
+            WITH d AS (
+                SELECT {DOC_UID} AS uid, lang,
+                       coalesce(n_chars, 0) AS nc
+                FROM documents),
+            states AS (
+                SELECT 's1_initial' AS snap, uid,
+                       CAST(NULL AS BIGINT) AS nc FROM d
+                UNION ALL
+                SELECT 's2_evolved', uid, CAST(NULL AS BIGINT) FROM d
+                UNION ALL
+                SELECT 's2_evolved', uid, CAST(nc AS BIGINT) FROM d
+                WHERE uid % 5 = 0
+                UNION ALL
+                SELECT 's2_pruned', uid, CAST(NULL AS BIGINT) FROM d
+                WHERE lang = (SELECT min(lang) FROM d
+                              WHERE lang IS NOT NULL)
+                UNION ALL
+                SELECT 's2_pruned', uid, CAST(nc AS BIGINT) FROM d
+                WHERE uid % 5 = 0
                   AND lang = (SELECT min(lang) FROM d
                               WHERE lang IS NOT NULL)
             )

@@ -32,9 +32,17 @@ What this implements (spec sections in parentheses):
   GDPR-style delete-by-key works without rewriting data files and
   prior snapshots still time-travel to the undeleted rows.
 
+- add-column schema evolution (Spec: Schema Evolution): appending a
+  frame with new columns registers a new schema entry — existing
+  field ids preserved, fresh ids for new columns (never reused),
+  snapshots stamped with their schema-id so time travel presents
+  each snapshot under ITS schema; reads across mixed file schemas
+  use mergeSchema and project to the snapshot schema (columns absent
+  from every selected file become typed nulls).
+
 Not implemented (documented scope): positional delete files
-(content=1 data_file entries), non-identity transforms, schema
-evolution, format v3.
+(content=1 data_file entries), non-identity transforms, column
+drops/renames/retypes, format v3.
 Write path materialises one partition directory per distinct value
 via a filtered Spark write — fine for the fixture scales this
 sandbox tests; a production writer would single-pass ``partitionBy``
@@ -341,6 +349,37 @@ def write_iceberg(
         with open(hint) as f:
             version = int(f.read().strip())
         seq = meta["last-sequence-number"] + 1
+        # add-column schema evolution (Spec: Schema Evolution):
+        # appending a frame with NEW columns registers a new schema
+        # entry — existing field ids are preserved, new columns get
+        # fresh ids (ids are never reused), and new columns are
+        # optional (old files read them as null via mergeSchema).
+        # Dropping or retyping columns is not supported.
+        cur_schema = meta["schemas"][meta["current-schema-id"]]
+        cur_names = [f["name"] for f in cur_schema["fields"]]
+        missing_cols = [n for n in cur_names if n not in df.columns]
+        if missing_cols:
+            raise ValueError(
+                f"append is missing table columns {missing_cols}; "
+                "only add-column schema evolution is supported"
+            )
+        new_names = [n for n in df.columns if n not in cur_names]
+        if new_names:
+            fresh = _iceberg_schema(df.select(*new_names))
+            last_id = meta["last-column-id"]
+            add_fields = [
+                {**f, "id": last_id + k, "required": False}
+                for k, f in enumerate(fresh["fields"], start=1)
+            ]
+            meta["schemas"].append(
+                {
+                    "type": "struct",
+                    "schema-id": len(meta["schemas"]),
+                    "fields": cur_schema["fields"] + add_fields,
+                }
+            )
+            meta["current-schema-id"] = len(meta["schemas"]) - 1
+            meta["last-column-id"] = last_id + len(add_fields)
         cur = next(
             s
             for s in meta["snapshots"]
@@ -571,7 +610,7 @@ def write_iceberg(
                 "deleted-records": str(deleted_rows),
             },
             "manifest-list": mlist_path,
-            "schema-id": 0,
+            "schema-id": meta.get("current-schema-id", 0),
         }
     )
     meta["snapshot-log"].append(
@@ -702,7 +741,7 @@ def delete_iceberg(
                 "added-equality-delete-records": str(deleted_rows),
             },
             "manifest-list": mlist_path,
-            "schema-id": 0,
+            "schema-id": meta.get("current-schema-id", 0),
         }
     )
     meta["snapshot-log"].append(
@@ -854,6 +893,47 @@ def read_iceberg(
     keys per equality-column set."""
     from pyspark.sql import functions as F
 
+    meta = _load_metadata(location)
+    sid = (
+        meta["current-snapshot-id"]
+        if snapshot_id is None
+        else snapshot_id
+    )
+    snap = next(
+        (s for s in meta["snapshots"] if s["snapshot-id"] == sid), None
+    )
+    schema = meta["schemas"][
+        (snap or {}).get("schema-id", meta["current-schema-id"])
+    ]
+    multi_schema = len(meta["schemas"]) > 1
+    _ICEBERG_TO_SPARK = {
+        "long": "long", "int": "int", "string": "string",
+        "double": "double", "float": "float", "boolean": "boolean",
+        "binary": "binary", "date": "date", "timestamptz": "timestamp",
+    }
+
+    def read(paths: list[str]) -> DataFrame:
+        r = spark.read
+        if multi_schema:
+            # heterogeneous file schemas after add-column evolution:
+            # old files read the new columns as null
+            r = r.option("mergeSchema", "true")
+        df = r.parquet(*paths)
+        # project to the SNAPSHOT's schema (order + columns absent
+        # from every selected file — e.g. a pruned read of pre-
+        # evolution partitions — become typed nulls)
+        cols = []
+        for f in schema["fields"]:
+            if f["name"] in df.columns:
+                cols.append(F.col(f["name"]))
+            else:
+                cols.append(
+                    F.lit(None)
+                    .cast(_ICEBERG_TO_SPARK.get(f["type"], "binary"))
+                    .alias(f["name"])
+                )
+        return df.select(*cols)
+
     data, deletes, _ = _scan_plan(location, snapshot_id, where)
     if not data:
         # empty selection: preserve schema from any snapshot file,
@@ -861,9 +941,9 @@ def read_iceberg(
         all_data, _, _ = _scan_plan(location, snapshot_id)
         if not all_data:
             raise ValueError(f"{location}: snapshot has no data files")
-        return spark.read.parquet(all_data[0][0]).limit(0)
+        return read([all_data[0][0]]).limit(0)
     if not deletes:
-        return spark.read.parquet(*[p for p, _ in data])
+        return read([p for p, _ in data])
 
     # group data files by sequence number: all files in a group see
     # the same set of applicable deletes
@@ -872,7 +952,7 @@ def read_iceberg(
         by_seq.setdefault(seq, []).append(path)
     out: DataFrame | None = None
     for seq in sorted(by_seq):
-        part = spark.read.parquet(*by_seq[seq])
+        part = read(by_seq[seq])
         applicable = [d for d in deletes if d["seq"] > seq]
         # one anti-join per distinct equality-column set
         by_cols: dict[tuple[str, ...], list[str]] = {}

@@ -209,13 +209,9 @@ def test_overwrite_partition_replaces_only_touched(
     n_target_before = docs.filter(F.col("lang") == target).count()
     n_other = docs.filter(F.col("lang") != target).count()
 
-    # replace the target partition with a 3-row frame
-    repl = (
-        docs.filter(F.col("lang") == target)
-        .limit(3)
-        .withColumn("source", F.lit("recrawl"))
-        .drop("source")  # keep schema identical
-    )
+    # replace the target partition with a 3-row frame (same schema —
+    # overwrite_partitions enforces column parity like append does)
+    repl = docs.filter(F.col("lang") == target).limit(3)
     s2 = write_iceberg(
         repl, table_loc, mode="overwrite_partitions"
     )
@@ -396,3 +392,111 @@ def test_equality_delete_rejects_unknown_column(spark, table_loc):
     write_iceberg(docs, table_loc)
     with pytest.raises(ValueError, match="not in table schema"):
         delete_iceberg(docs, table_loc, equality_cols=["nope"])
+
+
+# ---------------------------------------------------------------------------
+# add-column schema evolution (Spec: Schema Evolution)
+# ---------------------------------------------------------------------------
+
+
+def test_schema_evolution_add_column(spark, table_loc):
+    docs = _docs(spark).select("doc_id", "lang")
+    s1 = write_iceberg(docs, table_loc, partition_by=["lang"])
+    n = docs.count()
+    # append with a NEW column
+    extra = _docs(spark).select("doc_id", "lang", "n_chars").filter(
+        "doc_id < 20"
+    )
+    s2 = write_iceberg(extra, table_loc, mode="append")
+    cur = read_iceberg(spark, table_loc)
+    assert set(cur.columns) == {"doc_id", "lang", "n_chars"}
+    assert cur.count() == n + 20
+    # old rows read the new column as null; appended rows carry it
+    assert cur.filter("n_chars IS NOT NULL").count() == extra.filter(
+        "n_chars IS NOT NULL"
+    ).count()
+    # time travel presents the PRE-evolution snapshot under ITS schema
+    old = read_iceberg(spark, table_loc, snapshot_id=s1)
+    assert set(old.columns) == {"doc_id", "lang"}
+    assert old.count() == n
+    # metadata: two schemas, stable ids for old fields, fresh id for new
+    meta_dir = os.path.join(table_loc, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        v = int(f.read())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as f:
+        meta = json.load(f)
+    assert len(meta["schemas"]) == 2
+    assert meta["current-schema-id"] == 1
+    ids0 = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    ids1 = {f["name"]: f["id"] for f in meta["schemas"][1]["fields"]}
+    for name, i in ids0.items():
+        assert ids1[name] == i
+    assert ids1["n_chars"] == max(ids0.values()) + 1
+    new_field = next(
+        f for f in meta["schemas"][1]["fields"] if f["name"] == "n_chars"
+    )
+    assert new_field["required"] is False
+    assert meta["snapshots"][0]["schema-id"] == 0
+    assert meta["snapshots"][-1]["schema-id"] == 1
+    assert s2 == meta["current-snapshot-id"]
+
+
+def test_schema_evolution_pruned_read_pre_evolution_partition(
+    spark, table_loc
+):
+    """A pruned read whose selected files ALL predate the evolution
+    still presents the current schema (typed nulls)."""
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "uid long, lang string"
+    )
+    write_iceberg(base, table_loc, partition_by=["lang"])
+    # evolve via an append touching ONLY partition b
+    write_iceberg(
+        spark.createDataFrame(
+            [(3, "b", 7.5)], "uid long, lang string, score double"
+        ),
+        table_loc,
+        mode="append",
+    )
+    a_only = read_iceberg(spark, table_loc, where={"lang": "a"})
+    assert set(a_only.columns) == {"uid", "lang", "score"}
+    row = a_only.collect()[0]
+    assert row["uid"] == 1 and row["score"] is None
+    assert dict(a_only.dtypes)["score"] == "double"
+
+
+def test_schema_evolution_rejects_dropped_columns(spark, table_loc):
+    docs = _docs(spark).select("doc_id", "lang", "n_chars")
+    write_iceberg(docs, table_loc)
+    with pytest.raises(ValueError, match="missing table columns"):
+        write_iceberg(
+            docs.select("doc_id", "lang"), table_loc, mode="append"
+        )
+
+
+def test_schema_evolution_composes_with_deletes(spark, table_loc):
+    from splink_spark.sources.iceberg_lite import delete_iceberg
+
+    base = spark.createDataFrame(
+        [(i, "x") for i in range(10)], "uid long, lang string"
+    )
+    write_iceberg(base, table_loc, partition_by=["lang"])
+    write_iceberg(
+        spark.createDataFrame(
+            [(100, "x", 1.0), (101, "x", 2.0)],
+            "uid long, lang string, score double",
+        ),
+        table_loc,
+        mode="append",
+    )
+    # delete on a NEW column's key
+    delete_iceberg(
+        spark.createDataFrame([(100,)], "uid long"), table_loc,
+        equality_cols=["uid"],
+    )
+    cur = read_iceberg(spark, table_loc)
+    assert cur.count() == 11
+    assert cur.filter("uid = 100").count() == 0
+    assert cur.filter("score IS NOT NULL").count() == 1
