@@ -1559,9 +1559,13 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     BMP, PNG and GIF payloads are synthesized per document — PNGs with
     MIXED scanline filters (row y uses filter y % 5, so Sub/Up/
     Average/Paeth unfiltering all execute; the PNG arm splits three
-    ways into 8-bit RGB, PALETTE at bit depth 1/2/4/8 via PLTE lookup
-    + sub-byte unpacking, and 16-BIT RGB via high-byte downshift),
-    GIFs through the from-scratch LZW codec, and BASELINE JPEGs
+    ways into 8-bit RGB — every other one ADAM7-INTERLACED, same
+    pixels in a 7-pass-ordered stream — PALETTE at bit depth 1/2/4/8
+    via PLTE lookup + sub-byte unpacking, and 16-BIT RGB via
+    high-byte downshift), GIFs through the from-scratch LZW codec
+    (every third one ANIMATED: two frames, inset-rect frame 1
+    composited over frame 0, some row-interlaced — the surfaced sums
+    come from the final composited canvas), and BASELINE JPEGs
     through the full Huffman + dequant + IDCT path (DC-exact
     synthesis: all-ones quant table + constant 8x8 blocks, so the
     lossy-codec decode is still bit-reproducible) — then decoded back
@@ -1576,13 +1580,16 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from splink_spark.multimodal import (
         decode_bmp,
         decode_gif,
+        decode_gif_frames,
         decode_jpeg,
         decode_png,
         make_bmp,
         make_gif,
+        make_gif_animated,
         make_jpeg,
         make_png,
         make_png16,
+        make_png_interlaced,
         make_png_palette,
     )
 
@@ -1610,9 +1617,25 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     p = make_jpeg(nc % 29 + 1, mid % 15 + 1, seed=mid)
                     rgb = decode_jpeg(p)
                 elif mid % 4 == 2:
-                    codec = "gif"
-                    p = make_gif(nc % 19 + 1, mid % 11 + 1, seed=mid)
-                    rgb = decode_gif(p)
+                    if (mid // 4) % 3 == 1:
+                        # ANIMATED (2 frames, frame 1 an inset rect,
+                        # disposal 1; every other one row-interlaced):
+                        # features come from the FINAL composited
+                        # canvas, so GCE parsing, sub-rect placement
+                        # and compositing are all on the oracle path
+                        codec = "gif_anim"
+                        p = make_gif_animated(
+                            nc % 19 + 3,
+                            mid % 11 + 3,
+                            seed=mid,
+                            n_frames=2,
+                            interlaced=(mid % 8 == 6),
+                        )
+                        rgb = decode_gif_frames(p)[-1]
+                    else:
+                        codec = "gif"
+                        p = make_gif(nc % 19 + 1, mid % 11 + 1, seed=mid)
+                        rgb = decode_gif(p)
                 elif mid % 3 == 1:
                     codec = "png_pal"
                     p = make_png_palette(
@@ -1633,8 +1656,16 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     rgb = decode_png(p)
                 else:
-                    codec = "png"
-                    p = make_png(
+                    # every other plain-PNG doc ships the SAME pixels
+                    # in an Adam7-interlaced container — identical
+                    # sums, but only a real 7-pass deinterlace
+                    # recovers them from the pass-ordered byte stream
+                    interlaced = (mid // 12) % 2 == 1
+                    codec = "png_i" if interlaced else "png"
+                    maker = (
+                        make_png_interlaced if interlaced else make_png
+                    )
+                    p = maker(
                         nc % 23 + 1,
                         mid % 13 + 1,
                         seed=mid,
@@ -2412,21 +2443,30 @@ def oracle_sql() -> dict[str, str]:
             dims AS (
                 SELECT media_id,
                        CASE media_id % 4 WHEN 0 THEN 'bmp'
-                            WHEN 2 THEN 'gif'
+                            WHEN 2 THEN CASE
+                                 WHEN (media_id // 4) % 3 = 1
+                                 THEN 'gif_anim' ELSE 'gif' END
                             WHEN 3 THEN 'jpeg'
                             ELSE CASE media_id % 3
                                  WHEN 1 THEN 'png_pal'
                                  WHEN 2 THEN 'png16'
-                                 ELSE 'png' END
+                                 ELSE CASE
+                                      WHEN (media_id // 12) % 2 = 1
+                                      THEN 'png_i' ELSE 'png' END
+                            END
                        END AS codec,
                        CASE media_id % 4
                             WHEN 0 THEN nc % 31 + 1
-                            WHEN 2 THEN nc % 19 + 1
+                            WHEN 2 THEN nc % 19 + CASE
+                                 WHEN (media_id // 4) % 3 = 1
+                                 THEN 3 ELSE 1 END
                             WHEN 3 THEN nc % 29 + 1
                             ELSE nc % 23 + 1 END AS width,
                        CASE media_id % 4
                             WHEN 0 THEN media_id % 17 + 1
-                            WHEN 2 THEN media_id % 11 + 1
+                            WHEN 2 THEN media_id % 11 + CASE
+                                 WHEN (media_id // 4) % 3 = 1
+                                 THEN 3 ELSE 1 END
                             WHEN 3 THEN media_id % 15 + 1
                             ELSE media_id % 13 + 1 END AS height,
                        -- palette size 2^depth, depth = 1<<((id//4)%4)
@@ -2440,7 +2480,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, unnest(range(height)) AS y FROM px),
             vals AS (
                 SELECT media_id, codec, width, height,
-                       CASE WHEN codec IN ('png', 'png16')
+                       CASE WHEN codec IN ('png', 'png_i', 'png16')
                             THEN (3 * x + y + media_id) % 256
                             WHEN codec = 'png_pal'
                             THEN (x + y + media_id) % npal
@@ -2449,6 +2489,13 @@ def oracle_sql() -> dict[str, str]:
                             -- the 8x8 block coordinates
                             THEN (3 * (x // 8) + 2 * (y // 8)
                                   + media_id) % 256
+                            WHEN codec = 'gif_anim'
+                            -- frame 1 (inset rect, +31 formula shift)
+                            -- composited over frame 0
+                            THEN CASE WHEN x >= 1 AND x < width - 1
+                                       AND y >= 1 AND y < height - 1
+                                 THEN (x + 2 * y + media_id + 31) % 256
+                                 ELSE (x + 2 * y + media_id) % 256 END
                             ELSE (x + 2 * y + media_id) % 256
                        END AS base
                 FROM pxy)
@@ -2464,6 +2511,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE codec WHEN 'bmp'
                             THEN (base + 85) % 256
                             WHEN 'gif' THEN (base + 85) % 256
+                            WHEN 'gif_anim' THEN (base + 85) % 256
                             WHEN 'jpeg' THEN base
                             WHEN 'png_pal' THEN (13 * base + media_id) % 256
                             ELSE (base + 60) % 256 END) AS BIGINT)
@@ -2471,6 +2519,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE codec WHEN 'bmp'
                             THEN base
                             WHEN 'gif' THEN (base + 170) % 256
+                            WHEN 'gif_anim' THEN (base + 170) % 256
                             WHEN 'jpeg' THEN base
                             WHEN 'png_pal' THEN (29 * base + media_id) % 256
                             ELSE (base + 120) % 256 END) AS BIGINT)

@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-Header parsing and BMP / PNG / GIF pixel decoding are REAL —
-pure-Python struct readers for the published PNG / BMP / GIF / RIFF-WAV
-container layouts plus stdlib-zlib PNG unfiltering and a from-scratch
-GIF LZW codec, no codec libraries needed. Remaining codecs (JPEG,
-MP3, H.264, ...) require libraries absent from this container:
+Header parsing and BMP / PNG / GIF / baseline-JPEG pixel decoding are
+REAL — pure-Python struct readers for the published PNG / BMP / GIF /
+JPEG / RIFF-WAV container layouts plus stdlib-zlib PNG unfiltering
+(including Adam7 deinterlacing), a from-scratch GIF LZW codec with the
+full GIF89a animation model (disposal, transparency, interlacing), and
+a T.81 baseline-JPEG Huffman+IDCT decoder, no codec libraries needed.
+Remaining codecs (progressive/arithmetic JPEG, MP3, H.264, ...)
+require libraries absent from this container:
 ``decode_image`` raises NotImplementedError for those unless
 ``fake=True``, in which case a deterministic fake decoder (md5-seeded)
 produces stable pseudo-features so the Spark-side plumbing — schema,
@@ -171,73 +174,19 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """REAL decode of a non-interlaced PNG into an (h, w, 3) uint8 RGB
-    array — stdlib ``zlib`` + per-scanline unfiltering, no codec
-    library (PNG spec: chunk walk, IDAT concat, filter types 0-4
-    including Paeth, PLTE lookup, sub-byte bit unpacking, 16-bit
-    downshift). Color types: 0 (gray, depth 1/2/4/8/16, replicated to
-    RGB), 2 (RGB, depth 8/16), 3 (palette, depth 1/2/4/8), 6 (RGBA,
-    depth 8/16, alpha dropped). Raises ValueError on interlaced
-    streams."""
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, w = 8, None
-    idat = bytearray()
-    plte: np.ndarray | None = None
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos:pos + 4])
-        typ = payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if typ == b"IHDR":
-            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            ok_depths = {
-                0: (1, 2, 4, 8, 16),
-                2: (8, 16),
-                3: (1, 2, 4, 8),
-                6: (8, 16),
-            }
-            if (
-                interlace != 0
-                or color not in ok_depths
-                or depth not in ok_depths[color]
-            ):
-                raise ValueError(
-                    f"unsupported PNG flavour (depth={depth}, "
-                    f"color={color}, interlace={interlace})"
-                )
-            ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
-        elif typ == b"PLTE":
-            if len(data) % 3:
-                raise ValueError("PLTE length not a multiple of 3")
-            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif typ == b"IDAT":
-            idat += data
-        elif typ == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    if color == 3 and plte is None:
-        raise ValueError("palette PNG missing PLTE chunk")
-    raw = zlib.decompress(bytes(idat))
-    # filtering operates on BYTES; the left-neighbour offset is the
-    # byte width of one pixel, floored to 1 for sub-byte depths
-    # (PNG spec §9: bpp = ceil-free max(1, ch*depth/8))
-    bpp = max(1, ch * depth // 8)
-    stride = (w * ch * depth + 7) // 8
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
-
+def _unfilter_scanlines(
+    raw: bytes, h: int, stride: int, bpp: int, offset: int = 0
+) -> np.ndarray:
+    """Undo PNG per-scanline filtering (spec §9, filter types 0-4) on
+    ``h`` scanlines of ``stride`` bytes each, starting at ``offset``
+    into ``raw``. Returns the reconstructed (h, stride) byte grid."""
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        f = raw[y * (stride + 1)]
+        f = raw[offset + y * (stride + 1)]
         row = np.frombuffer(
             raw, dtype=np.uint8,
-            count=stride, offset=y * (stride + 1) + 1,
+            count=stride, offset=offset + y * (stride + 1) + 1,
         ).astype(np.int32)
         if f == 0:
             recon = row
@@ -264,32 +213,132 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {f}")
         prev = (recon % 256).astype(np.uint8)
         out[y] = prev
+    return out
 
+
+def _png_grid_samples(
+    grid: np.ndarray, w: int, h: int, ch: int, depth: int, stride: int
+) -> np.ndarray:
+    """Reconstructed byte grid -> (h, w, ch) uint8 samples (16-bit
+    high-byte downshift, sub-byte MSB-first unpacking; palette/gray
+    colorization happens later on the assembled full-size grid)."""
     if depth == 16:
         # big-endian samples: the high byte IS the 8-bit downshift
-        px = out[:, 0::2].reshape(h, w, ch)
-    elif depth < 8:
-        # unpack bits per scanline, trim the row-padding samples
-        bits = np.unpackbits(out, axis=1)  # (h, stride*8) MSB-first
+        return grid[:, 0::2].reshape(h, w, ch)
+    if depth < 8:
+        bits = np.unpackbits(grid, axis=1)  # (h, stride*8) MSB-first
         idx = bits[:, : (stride * 8 // depth) * depth].reshape(
             h, -1, depth
         )
         weights = 1 << np.arange(depth - 1, -1, -1)
         samples = (idx * weights).sum(axis=2)[:, :w]  # (h, w)
-        if color == 3:
-            if int(samples.max()) >= len(plte):
-                raise ValueError("palette index out of range")
-            return plte[samples].copy()
-        # grayscale: scale to full 8-bit range (spec sample depth
-        # rescale: v * 255 / (2^depth - 1), exact for 1/2/4)
-        px = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
-        px = px.reshape(h, w, 1)
+        return samples.astype(np.uint8).reshape(h, w, 1)
+    return grid.reshape(h, w, ch)
+
+
+# Adam7 interlace pass layout (PNG spec §8.2): per pass
+# (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL decode of a PNG into an (h, w, 3) uint8 RGB array — stdlib
+    ``zlib`` + per-scanline unfiltering, no codec library (PNG spec:
+    chunk walk, IDAT concat, filter types 0-4 including Paeth, PLTE
+    lookup, sub-byte bit unpacking, 16-bit downshift, Adam7
+    deinterlacing). Color types: 0 (gray, depth 1/2/4/8/16, replicated
+    to RGB), 2 (RGB, depth 8/16), 3 (palette, depth 1/2/4/8), 6 (RGBA,
+    depth 8/16, alpha dropped). Interlace methods 0 (none) and 1
+    (Adam7: seven independently-filtered reduced images scattered back
+    onto the full grid)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    plte: np.ndarray | None = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            ok_depths = {
+                0: (1, 2, 4, 8, 16),
+                2: (8, 16),
+                3: (1, 2, 4, 8),
+                6: (8, 16),
+            }
+            if (
+                interlace not in (0, 1)
+                or color not in ok_depths
+                or depth not in ok_depths[color]
+            ):
+                raise ValueError(
+                    f"unsupported PNG flavour (depth={depth}, "
+                    f"color={color}, interlace={interlace})"
+                )
+            ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+        elif typ == b"PLTE":
+            if len(data) % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    raw = zlib.decompress(bytes(idat))
+    # filtering operates on BYTES; the left-neighbour offset is the
+    # byte width of one pixel, floored to 1 for sub-byte depths
+    # (PNG spec §9: bpp = ceil-free max(1, ch*depth/8))
+    bpp = max(1, ch * depth // 8)
+    if interlace == 0:
+        stride = (w * ch * depth + 7) // 8
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG IDAT length mismatch")
+        grid = _unfilter_scanlines(raw, h, stride, bpp)
+        px = _png_grid_samples(grid, w, h, ch, depth, stride)
     else:
-        px = out.reshape(h, w, ch)
+        # Adam7: seven reduced images, each filtered independently
+        # with its own scanline stride; empty passes contribute zero
+        # bytes (spec §8.2)
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = (pw * ch * depth + 7) // 8
+            need = ph * (pstride + 1)
+            if offset + need > len(raw):
+                raise ValueError("PNG IDAT length mismatch")
+            grid = _unfilter_scanlines(raw, ph, pstride, bpp, offset)
+            offset += need
+            px[y0::dy, x0::dx] = _png_grid_samples(
+                grid, pw, ph, ch, depth, pstride
+            )
+        if offset != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
     if color == 3:
         if int(px.max()) >= len(plte):
             raise ValueError("palette index out of range")
         return plte[px.reshape(h, w)].copy()
+    if depth < 8:
+        # grayscale: scale to full 8-bit range (spec sample depth
+        # rescale: v * 255 / (2^depth - 1), exact for 1/2/4)
+        px = (
+            px.astype(np.int32) * (255 // ((1 << depth) - 1))
+        ).astype(np.uint8)
     if ch == 1:
         return np.repeat(px, 3, axis=2).copy()
     return np.ascontiguousarray(px[:, :, :3]).copy()
@@ -392,39 +441,69 @@ def _lzw_decode(
     return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
 
 
-def decode_gif(payload: bytes) -> np.ndarray:
-    """REAL decode of a single-frame non-interlaced GIF87a/89a into an
-    (h, w, 3) uint8 RGB array — pure-Python chunk walk + from-scratch
-    variable-width LZW (stdlib only). Global or local color table;
-    interlaced frames raise ValueError."""
+# GIF interlace row order (spec appendix E): 4 passes of
+# (row_start, row_step)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_frames(
+    payload: bytes, max_frames: int | None = None
+) -> np.ndarray:
+    """REAL decode of a GIF87a/89a into composited canvas snapshots,
+    one per frame: an (n, H, W, 3) uint8 RGB array at logical-screen
+    size — pure-Python chunk walk + from-scratch variable-width LZW
+    (stdlib only). Implements the full animation model (GIF89a spec):
+    Graphic Control Extension transparency (transparent index skipped,
+    underlying canvas shows through), disposal methods 0/1 (leave),
+    2 (restore region to background color) and 3 (restore previous
+    canvas), sub-rectangle frame placement, local color tables, and
+    4-pass row interlacing (appendix E)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack("<HH", payload[6:10])
     flags = payload[10]
+    bg_index = payload[11]
     pos = 13
-    palette = None
+    gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
-        palette = np.frombuffer(
+        gct = np.frombuffer(
             payload, dtype=np.uint8, count=n * 3, offset=pos
         ).reshape(n, 3)
         pos += n * 3
+    bg = (
+        gct[bg_index]
+        if gct is not None and bg_index < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.broadcast_to(bg, (sh, sw, 3)).astype(np.uint8).copy()
+    frames: list[np.ndarray] = []
+    disposal, transparent = 0, None
     while pos < len(payload):
         b = payload[pos]
         if b == 0x3B:  # trailer
             break
         if b == 0x21:  # extension: label then sub-blocks
+            label = payload[pos + 1]
             pos += 2
+            if label == 0xF9 and payload[pos] == 4:
+                packed, _delay, tidx = struct.unpack(
+                    "<BHB", payload[pos + 1:pos + 5]
+                )
+                disposal = (packed >> 2) & 0x07
+                transparent = tidx if packed & 0x01 else None
             while payload[pos] != 0:
                 pos += 1 + payload[pos]
             pos += 1
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
-        _left, _top, w, h = struct.unpack("<HHHH", payload[pos + 1:pos + 9])
+        left, top, w, h = struct.unpack("<HHHH", payload[pos + 1:pos + 9])
         iflags = payload[pos + 9]
         pos += 10
-        if iflags & 0x40:
-            raise ValueError("interlaced GIF unsupported")
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF frame exceeds logical screen")
+        palette = gct
         if iflags & 0x80:  # local color table wins
             n = 2 << (iflags & 0x07)
             palette = np.frombuffer(
@@ -440,11 +519,49 @@ def decode_gif(payload: bytes) -> np.ndarray:
             size = payload[pos]
             lzw += payload[pos + 1:pos + 1 + size]
             pos += 1 + size
+        pos += 1  # block terminator
         idx = _lzw_decode(bytes(lzw), min_code_size, w * h)
         if len(idx) < w * h:
             raise ValueError("GIF pixel data short")
-        return palette[idx.reshape(h, w)].copy()
-    raise ValueError("GIF contains no image frame")
+        idx = idx[: w * h].reshape(h, w)
+        if iflags & 0x40:  # interlaced: rows arrive in 4-pass order
+            deint = np.empty_like(idx)
+            src = 0
+            for start, step in _GIF_INTERLACE:
+                n_rows = len(range(start, h, step))
+                deint[start::step] = idx[src:src + n_rows]
+                src += n_rows
+            idx = deint
+        if int(idx.max()) >= len(palette):
+            raise ValueError("GIF index out of color-table range")
+        prev_canvas = canvas.copy() if disposal == 3 else None
+        region = canvas[top:top + h, left:left + w]
+        mask = (
+            np.ones((h, w), dtype=bool)
+            if transparent is None
+            else idx != transparent
+        )
+        region[mask] = palette[idx][mask]
+        frames.append(canvas.copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            return np.stack(frames)
+        # disposal applies BEFORE the next frame draws
+        if disposal == 2:
+            canvas[top:top + h, left:left + w] = bg
+        elif disposal == 3:
+            canvas = prev_canvas
+        disposal, transparent = 0, None  # GCE scopes one image
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    return np.stack(frames)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First composited canvas frame of a GIF (see
+    ``decode_gif_frames``) — for a full-screen single-frame GIF this
+    is exactly the frame's own pixels, preserving the md5 byte-parity
+    oracle."""
+    return decode_gif_frames(payload, max_frames=1)[0]
 
 
 def _image_features(rgb: np.ndarray, dim: int = _FEATURE_DIM) -> np.ndarray:
@@ -861,14 +978,16 @@ def make_jpeg(width: int, height: int, seed: int = 0) -> bytes:
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode + featurize an image payload.
 
-    Uncompressed 24-bit BMP, non-interlaced PNG (gray/RGB/RGBA/palette
-    at depths 1-16), single-frame GIF and BASELINE JPEG (SOF0 Huffman,
-    grayscale / 4:4:4 / 4:2:2 / 4:2:0) decode for REAL (header + numpy
-    + stdlib zlib + from-scratch LZW / Huffman + IDCT, see decode_bmp
-    / decode_png / decode_gif / decode_jpeg). Remaining flavours
-    (progressive/arithmetic JPEG, interlaced PNG, animated GIF) raise
-    NotImplementedError unless ``fake=True``, which substitutes the
-    deterministic md5-seeded pseudo-decoder."""
+    Uncompressed 24-bit BMP, PNG (gray/RGB/RGBA/palette at depths
+    1-16, interlaced or not), GIF (single- or multi-frame, interlaced,
+    transparency + disposal composited; features come from the first
+    composited canvas) and BASELINE JPEG (SOF0 Huffman, grayscale /
+    4:4:4 / 4:2:2 / 4:2:0) decode for REAL (header + numpy + stdlib
+    zlib + from-scratch LZW / Huffman + IDCT, see decode_bmp /
+    decode_png / decode_gif_frames / decode_jpeg). Remaining flavours
+    (progressive/arithmetic JPEG) raise NotImplementedError unless
+    ``fake=True``, which substitutes the deterministic md5-seeded
+    pseudo-decoder."""
     if payload and payload[:2] == b"BM":
         try:
             return _image_features(decode_bmp(payload))
@@ -897,9 +1016,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         raise NotImplementedError(
             "decoding this format requires an imaging library not "
             "present in this environment; pass fake=True for the "
-            "deterministic stub (uncompressed 24-bit BMP, "
-            "gray/RGB/RGBA/palette PNG at depths 1-16, single-frame "
-            "GIF and baseline JPEG decode for real)"
+            "deterministic stub (uncompressed 24-bit BMP, PNG at "
+            "depths 1-16 incl. Adam7, single/multi-frame GIF and "
+            "baseline JPEG decode for real)"
         )
     return _fake_features(payload)
 
@@ -1075,6 +1194,39 @@ def make_png16(
     )
 
 
+def make_png_interlaced(
+    width: int, height: int, seed: int = 0, filter_mode: str = "mixed"
+) -> bytes:
+    """Valid Adam7-interlaced 8-bit RGB PNG — same pixel formula as
+    ``make_png`` (base = (3x + y + seed) % 256, then +0/+60/+120), so
+    the relational decode oracle is shared; the seven reduced images
+    are filtered independently (spec §8.2) and concatenated into one
+    zlib stream."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1)
+    y_idx, x_idx = np.mgrid[0:height, 0:width]
+    base = (3 * x_idx + y_idx + seed) % 256
+    px = np.stack(
+        [base, (base + 60) % 256, (base + 120) % 256], axis=-1
+    ).astype(np.uint8)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = px[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if pw == 0 or ph == 0:
+            continue
+        raw += _filter_scanlines(
+            np.ascontiguousarray(sub).reshape(ph, pw * 3),
+            3,
+            filter_mode,
+        )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def make_wav(
     n_samples: int, sample_rate: int = 8000, seed: int = 0
 ) -> bytes:
@@ -1121,6 +1273,88 @@ def make_gif(width: int, height: int, seed: int = 0) -> bytes:
         + bytes(blocks)
         + b"\x00;"
     )
+
+
+def _gif_frame_bytes(
+    indices: np.ndarray,
+    left: int,
+    top: int,
+    disposal: int = 0,
+    transparent: int | None = None,
+    interlaced: bool = False,
+) -> bytes:
+    """One GCE + image-descriptor + LZW data block for an (h, w) index
+    array placed at (left, top)."""
+    h, w = indices.shape
+    if interlaced:  # emit rows in 4-pass order (spec appendix E)
+        indices = np.concatenate(
+            [indices[start::step] for start, step in _GIF_INTERLACE]
+        )
+    packed = (disposal & 0x07) << 2
+    tidx = 0
+    if transparent is not None:
+        packed |= 0x01
+        tidx = transparent
+    gce = b"\x21\xf9\x04" + struct.pack("<BHB", packed, 4, tidx) + b"\x00"
+    lzw = _lzw_encode(
+        np.ascontiguousarray(indices).reshape(-1), min_code_size=8
+    )
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        gce
+        + b"\x2c"
+        + struct.pack("<HHHH", left, top, w, h)
+        + (b"\x40" if interlaced else b"\x00")
+        + b"\x08"
+        + bytes(blocks)
+        + b"\x00"
+    )
+
+
+def make_gif_animated(
+    width: int,
+    height: int,
+    seed: int = 0,
+    n_frames: int = 2,
+    interlaced: bool = False,
+) -> bytes:
+    """Valid animated GIF89a with the ``make_gif`` global color table
+    (palette[i] = (i, (i+85)%256, (i+170)%256)). Frame 0 is
+    full-screen with index = (x + 2*y + seed) % 256 and disposal 1
+    (leave); each later frame k draws the sub-rectangle
+    [k, width-k) x [k, height-k) with index =
+    (x + 2*y + seed + 31*k) % 256 (absolute coordinates), disposal 1 —
+    so the final composited canvas is the relationally-replayable
+    CASE over nesting rectangles. Requires n_frames small enough that
+    every rectangle is non-empty."""
+    pal = np.arange(256, dtype=np.uint8)
+    palette = np.stack([pal, pal + 85, pal + 170], axis=-1)
+    out = bytearray(
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + b"\xf7\x00\x00"  # GCT present, 256 entries
+        + palette.tobytes()
+    )
+    # NETSCAPE2.0 looping application extension (public GIF89a
+    # convention) — exercises the decoder's generic extension skip
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for k in range(n_frames):
+        left = top = k
+        w, h = width - 2 * k, height - 2 * k
+        if w <= 0 or h <= 0:
+            raise ValueError("n_frames too large for the frame size")
+        y_idx, x_idx = np.mgrid[top:top + h, left:left + w]
+        idx = ((x_idx + 2 * y_idx + seed + 31 * k) % 256).astype(
+            np.uint8
+        )
+        out += _gif_frame_bytes(
+            idx, left, top, disposal=1, interlaced=interlaced
+        )
+    out += b";"
+    return bytes(out)
 
 
 META_STRUCT = T.StructType(

@@ -179,10 +179,11 @@ def test_decode_png_rejects_unsupported():
             + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    # interlaced (Adam7) stays unsupported
+    # interlace METHOD 2 does not exist (0=none and 1=Adam7 are the
+    # only published methods)
     bad = (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2))
         + chunk(b"IEND", b"")
     )
     with pytest.raises(ValueError):
@@ -356,15 +357,22 @@ def test_decode_gif_independent_vector():
 
 
 def test_decode_gif_rejects_bad_inputs():
+    import struct as _struct
+
     from splink_spark.multimodal import decode_gif
 
     with pytest.raises(ValueError):
         decode_gif(b"not a gif")
-    # interlace flag set on the image descriptor
+    # an unexpected block type aborts the chunk walk
     p = bytearray(make_gif(4, 4))
     desc = 13 + 768  # header + LSD + 256-entry GCT
     assert p[desc] == 0x2C
-    p[desc + 9] |= 0x40
+    p[desc] = 0x7E
+    with pytest.raises(ValueError):
+        decode_gif(bytes(p))
+    # a frame rectangle outside the logical screen is rejected
+    p = bytearray(make_gif(4, 4))
+    p[desc + 1:desc + 5] = _struct.pack("<HH", 3, 0)  # left=3, w=4
     with pytest.raises(ValueError):
         decode_gif(bytes(p))
 
@@ -669,3 +677,157 @@ def test_decode_image_jpeg_branch():
     f = decode_image(make_jpeg(24, 16, seed=5), fake=False)
     assert f.shape and f.dtype == np.float32
     assert float(f[0]) == 24.0 and float(f[1]) == 16.0
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlaced PNG (spec §8.2)
+# ---------------------------------------------------------------------------
+
+
+def test_png_interlaced_matches_noninterlaced():
+    """An Adam7 stream decodes to the SAME pixels as the progressive
+    stream of the same formula — every pass geometry (incl. empty
+    passes on 1-wide / 1-tall images) and all five filter types."""
+    from splink_spark.multimodal import decode_png, make_png_interlaced
+
+    for w, h in [(1, 1), (7, 5), (8, 8), (17, 13), (33, 2), (2, 33)]:
+        for fm in ("none", "mixed"):
+            a = decode_png(make_png(w, h, seed=9, filter_mode=fm))
+            b = decode_png(
+                make_png_interlaced(w, h, seed=9, filter_mode=fm)
+            )
+            assert a.shape == b.shape == (h, w, 3)
+            assert (a == b).all(), (w, h, fm)
+
+
+def test_png_interlaced_truncated_stream_rejected():
+    from splink_spark.multimodal import decode_png, make_png_interlaced
+
+    p = bytearray(make_png_interlaced(16, 16, seed=2))
+    # re-compress a truncated raw stream so zlib inflates cleanly but
+    # the pass walk runs short
+    i = bytes(p).index(b"IDAT") - 4
+    (ln,) = struct.unpack(">I", p[i:i + 4])
+    raw = zlib.decompress(bytes(p[i + 8:i + 8 + ln]))
+    short = zlib.compress(raw[:-10], 6)
+    rebuilt = (
+        bytes(p[:i])
+        + struct.pack(">I", len(short))
+        + b"IDAT"
+        + short
+        + struct.pack(
+            ">I", zlib.crc32(b"IDAT" + short) & 0xFFFFFFFF
+        )
+        + bytes(p[i + 12 + ln:])
+    )
+    with pytest.raises(ValueError, match="IDAT length"):
+        decode_png(rebuilt)
+
+
+# ---------------------------------------------------------------------------
+# animated GIF (GIF89a animation model: GCE, disposal, transparency,
+# interlacing)
+# ---------------------------------------------------------------------------
+
+
+def _gif_palette():
+    pal = np.arange(256, dtype=np.uint8)
+    return np.stack([pal, pal + 85, pal + 170], axis=-1)
+
+
+def test_gif_animated_composites_nested_rects():
+    from splink_spark.multimodal import decode_gif_frames, make_gif_animated
+
+    w, h, seed = 19, 11, 4
+    frames = decode_gif_frames(make_gif_animated(w, h, seed, n_frames=3))
+    assert frames.shape == (3, h, w, 3)
+    palette = _gif_palette()
+    y, x = np.mgrid[0:h, 0:w]
+    exp = palette[(x + 2 * y + seed) % 256].copy()
+    assert (frames[0] == exp).all()
+    for k in (1, 2):
+        m = (x >= k) & (x < w - k) & (y >= k) & (y < h - k)
+        exp[m] = palette[(x + 2 * y + seed + 31 * k) % 256][m]
+    assert (frames[-1] == exp).all()
+
+
+def test_gif_animated_interlaced_same_canvases():
+    from splink_spark.multimodal import decode_gif_frames, make_gif_animated
+
+    a = decode_gif_frames(make_gif_animated(19, 11, 4, n_frames=3))
+    b = decode_gif_frames(
+        make_gif_animated(19, 11, 4, n_frames=3, interlaced=True)
+    )
+    assert (a == b).all()
+
+
+def test_gif_disposal_background_and_transparency():
+    """Disposal 2 restores the frame rect to the background color
+    before the next frame; a fully-transparent frame draws nothing."""
+    from splink_spark.multimodal import _gif_frame_bytes, decode_gif_frames
+
+    palette = _gif_palette()
+    hdr = (
+        b"GIF89a" + struct.pack("<HH", 8, 6) + b"\xf7\x05\x00"
+        + palette.tobytes()
+    )  # bg index 5
+    y, x = np.mgrid[0:6, 0:8]
+    f0 = ((x + y) % 256).astype(np.uint8)
+    f1 = np.full((2, 3), 7, np.uint8)
+    payload = (
+        hdr
+        + _gif_frame_bytes(f0, 0, 0, disposal=2)
+        + _gif_frame_bytes(f1, 2, 1, disposal=0, transparent=7)
+        + b";"
+    )
+    fr = decode_gif_frames(payload)
+    assert (fr[0] == palette[f0]).all()
+    exp1 = np.broadcast_to(palette[5], (6, 8, 3)).copy()
+    assert (fr[1] == exp1).all()
+
+
+def test_gif_disposal_restore_previous():
+    from splink_spark.multimodal import _gif_frame_bytes, decode_gif_frames
+
+    palette = _gif_palette()
+    hdr = (
+        b"GIF89a" + struct.pack("<HH", 8, 6) + b"\xf7\x05\x00"
+        + palette.tobytes()
+    )
+    y, x = np.mgrid[0:6, 0:8]
+    f0 = ((x + y) % 256).astype(np.uint8)
+    payload = (
+        hdr
+        + _gif_frame_bytes(f0, 0, 0, disposal=1)
+        + _gif_frame_bytes(
+            np.full((2, 3), 7, np.uint8), 2, 1, disposal=3
+        )
+        + _gif_frame_bytes(np.full((1, 1), 9, np.uint8), 0, 0)
+        + b";"
+    )
+    fr = decode_gif_frames(payload)
+    exp1 = palette[f0].copy()
+    exp1[1:3, 2:5] = palette[7]
+    assert (fr[1] == exp1).all()
+    # frame 2 draws on the RESTORED canvas — frame 1 is gone
+    exp2 = palette[f0].copy()
+    exp2[0, 0] = palette[9]
+    assert (fr[2] == exp2).all()
+
+
+def test_decode_gif_frames_max_frames_short_circuits():
+    from splink_spark.multimodal import decode_gif_frames, make_gif_animated
+
+    p = make_gif_animated(12, 10, 1, n_frames=4)
+    assert decode_gif_frames(p, max_frames=2).shape[0] == 2
+    assert decode_gif_frames(p).shape[0] == 4
+
+
+def test_decode_image_animated_gif_branch():
+    """decode_image features an animated payload from the FIRST
+    composited canvas — identical to the single-frame formula."""
+    from splink_spark.multimodal import make_gif_animated
+
+    f_anim = decode_image(make_gif_animated(24, 16, seed=5, n_frames=3))
+    f_single = decode_image(make_gif(24, 16, seed=5))
+    assert (f_anim == f_single).all()
