@@ -32,6 +32,14 @@ What this implements (spec sections in parentheses):
   GDPR-style delete-by-key works without rewriting data files and
   prior snapshots still time-travel to the undeleted rows.
 
+- position-delete commits (Spec: Position Delete Files, content=1):
+  ``delete_iceberg_where`` evaluates a SQL predicate against the
+  current snapshot and records matching rows as sorted (file_path,
+  pos) pairs, positions taken from Spark's parquet
+  ``_metadata.row_index`` hidden column; the read path anti-joins on
+  the (file, position) identity for data files with
+  less-than-or-equal sequence numbers.
+
 - add-column schema evolution (Spec: Schema Evolution): appending a
   frame with new columns registers a new schema entry — existing
   field ids preserved, fresh ids for new columns (never reused),
@@ -40,8 +48,7 @@ What this implements (spec sections in parentheses):
   use mergeSchema and project to the snapshot schema (columns absent
   from every selected file become typed nulls).
 
-Not implemented (documented scope): positional delete files
-(content=1 data_file entries), non-identity transforms, column
+Not implemented (documented scope): non-identity transforms, column
 drops/renames/retypes, format v3.
 Write path materialises one partition directory per distinct value
 via a filtered Spark write — fine for the fixture scales this
@@ -694,6 +701,32 @@ def delete_iceberg(
                 },
             }
         )
+    return _commit_delete_snapshot(
+        location,
+        meta,
+        version,
+        prior_manifests,
+        entries,
+        deleted_rows,
+        "added-equality-delete-records",
+    )
+
+
+def _commit_delete_snapshot(
+    location: str,
+    meta: dict,
+    version: int,
+    prior_manifests: list[dict],
+    entries: list[dict],
+    deleted_rows: int,
+    records_summary_key: str,
+) -> int:
+    """Shared delete-commit tail: write the DELETE manifest (manifest
+    content=1) + manifest list, append the snapshot, bump metadata.
+    ``entries`` carry the per-file content (1=position, 2=equality)."""
+    partition_by = meta["_iceberg_lite_partition_by"]
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = seq
     part_schema = _partition_struct_schema(
         partition_by, meta["schemas"][meta["current-schema-id"]]
     )
@@ -738,7 +771,7 @@ def delete_iceberg(
             "summary": {
                 "operation": "delete",
                 "added-delete-files": str(len(entries)),
-                "added-equality-delete-records": str(deleted_rows),
+                records_summary_key: str(deleted_rows),
             },
             "manifest-list": mlist_path,
             "schema-id": meta.get("current-schema-id", 0),
@@ -752,6 +785,104 @@ def delete_iceberg(
     )
     _write_metadata(location, meta, version + 1)
     return snapshot_id
+
+
+# normalize Spark's _metadata.file_path ("file:///abs/path") to the
+# plain filesystem path stored in lite manifests
+def _strip_file_scheme(col):
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, "^file:(//)?", "")
+
+
+def delete_iceberg_where(
+    spark: SparkSession,
+    location: str,
+    predicate: str,
+) -> int:
+    """Position-delete commit (Spec: Delete Files, content=1; Position
+    Delete Files). Evaluates ``predicate`` (a SQL boolean expression
+    over the table columns) against the current snapshot's data files
+    and records the matching rows as (file_path, pos) pairs — the
+    spec's position-delete layout, sorted by file_path then pos —
+    using Spark's parquet ``_metadata.row_index`` hidden column for
+    exact in-file positions (JVM-native, no per-row Python).
+
+    Per the spec's sequence-number rule for position deletes, the
+    delete applies to data files whose sequence number is LESS THAN OR
+    EQUAL to the delete's — here always strictly less, since the
+    commit takes a fresh sequence number. Rows appended later are
+    unaffected and prior snapshots time-travel to the undeleted data.
+    """
+    import pyarrow.parquet as pq
+
+    meta = _load_metadata(location)
+    partition_by = meta["_iceberg_lite_partition_by"]
+    hint = os.path.join(location, "metadata", "version-hint.text")
+    with open(hint) as f:
+        version = int(f.read().strip())
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = seq
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, prior_manifests = read_avro(cur["manifest-list"])
+
+    data, _deletes, _ = _scan_plan(location)
+    if not data:
+        raise ValueError(f"{location}: snapshot has no data files")
+    from pyspark.sql import functions as F
+
+    scan = spark.read.option("mergeSchema", "true").parquet(
+        *[p for p, _ in data]
+    )
+    positions = (
+        scan.filter(predicate)
+        .select(
+            _strip_file_scheme(F.col("_metadata.file_path")).alias(
+                "file_path"
+            ),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .sort("file_path", "pos")
+    )
+    out_dir = os.path.join(
+        location, "data", f"snap-{snapshot_id}-pos-deletes"
+    )
+    positions.write.mode("overwrite").parquet(out_dir)
+    entries = []
+    deleted_rows = 0
+    for path in _list_parquet_files(out_dir):
+        pf = pq.ParquetFile(path)
+        deleted_rows += pf.metadata.num_rows
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 1,  # POSITION_DELETES
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {c: None for c in partition_by},
+                    "record_count": pf.metadata.num_rows,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "equality_ids": None,
+                },
+            }
+        )
+    return _commit_delete_snapshot(
+        location,
+        meta,
+        version,
+        prior_manifests,
+        entries,
+        deleted_rows,
+        "added-position-delete-records",
+    )
 
 
 def _scan_plan(
@@ -813,6 +944,7 @@ def _scan_plan(
                     {
                         "path": dfile["file_path"],
                         "seq": e["sequence_number"],
+                        "content": dfile.get("content", 2),
                         "cols": [
                             id_to_name[i]
                             for i in dfile.get("equality_ids") or []
@@ -885,12 +1017,14 @@ def read_iceberg(
     travel), with identity-partition pruning via ``where`` so pruned
     files are never opened by Spark.
 
-    Equality deletes are applied per the spec's sequence-number rule:
-    a delete with sequence number s removes matching rows from data
-    files with sequence number < s only. Data files are grouped by
-    sequence number; each group anti-joins (broadcast — delete files
-    are small key lists) against the union of the applicable delete
-    keys per equality-column set."""
+    Row-level deletes are applied per the spec's sequence-number
+    rules: an EQUALITY delete with sequence number s removes matching
+    rows from data files with sequence number < s; a POSITION delete
+    applies to data files with sequence number <= s, matched on the
+    (file_path, pos) pairs via the parquet ``_metadata`` hidden
+    columns. Data files are grouped by sequence number; each group
+    anti-joins (broadcast — delete files are small key/position
+    lists) against the applicable deletes."""
     from pyspark.sql import functions as F
 
     meta = _load_metadata(location)
@@ -912,7 +1046,7 @@ def read_iceberg(
         "binary": "binary", "date": "date", "timestamptz": "timestamp",
     }
 
-    def read(paths: list[str]) -> DataFrame:
+    def read(paths: list[str], with_pos: bool = False) -> DataFrame:
         r = spark.read
         if multi_schema:
             # heterogeneous file schemas after add-column evolution:
@@ -923,6 +1057,14 @@ def read_iceberg(
         # from every selected file — e.g. a pruned read of pre-
         # evolution partitions — become typed nulls)
         cols = []
+        if with_pos:
+            # (file, position) identity for applying position deletes
+            cols += [
+                _strip_file_scheme(
+                    F.col("_metadata.file_path")
+                ).alias("__file_path"),
+                F.col("_metadata.row_index").alias("__pos"),
+            ]
         for f in schema["fields"]:
             if f["name"] in df.columns:
                 cols.append(F.col(f["name"]))
@@ -952,11 +1094,34 @@ def read_iceberg(
         by_seq.setdefault(seq, []).append(path)
     out: DataFrame | None = None
     for seq in sorted(by_seq):
-        part = read(by_seq[seq])
-        applicable = [d for d in deletes if d["seq"] > seq]
+        # spec sequence-number rules: equality deletes apply to
+        # STRICTLY older data files, position deletes to older-or-same
+        eq_applicable = [
+            d for d in deletes if d["content"] == 2 and d["seq"] > seq
+        ]
+        pos_applicable = [
+            d for d in deletes if d["content"] == 1 and d["seq"] >= seq
+        ]
+        part = read(by_seq[seq], with_pos=bool(pos_applicable))
+        if pos_applicable:
+            pos_keys = (
+                spark.read.parquet(
+                    *[d["path"] for d in pos_applicable]
+                )
+                .select(
+                    F.col("file_path").alias("__file_path"),
+                    F.col("pos").alias("__pos"),
+                )
+                .distinct()
+            )
+            part = part.join(
+                F.broadcast(pos_keys),
+                on=["__file_path", "__pos"],
+                how="left_anti",
+            ).drop("__file_path", "__pos")
         # one anti-join per distinct equality-column set
         by_cols: dict[tuple[str, ...], list[str]] = {}
-        for d in applicable:
+        for d in eq_applicable:
             by_cols.setdefault(tuple(d["cols"]), []).append(d["path"])
         for cols, paths in sorted(by_cols.items()):
             keys = spark.read.parquet(*paths).select(*cols).distinct()

@@ -500,3 +500,107 @@ def test_schema_evolution_composes_with_deletes(spark, table_loc):
     assert cur.count() == 11
     assert cur.filter("uid = 100").count() == 0
     assert cur.filter("score IS NOT NULL").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# position deletes (Spec: Position Delete Files, content=1)
+# ---------------------------------------------------------------------------
+
+
+def test_position_delete_by_predicate(spark, table_loc):
+    from splink_spark.sources.iceberg_lite import delete_iceberg_where
+
+    docs = _docs(spark).select("doc_id", "lang", "n_chars").filter(
+        "doc_id < 60"
+    )
+    n = docs.count()
+    s1 = write_iceberg(docs, table_loc, partition_by=["lang"])
+    n_kill = docs.filter("n_chars > 400").count()
+    assert 0 < n_kill < n
+    s2 = delete_iceberg_where(spark, table_loc, "n_chars > 400")
+    assert s2 > s1
+    cur = read_iceberg(spark, table_loc)
+    assert cur.count() == n - n_kill
+    assert cur.filter("n_chars > 400").count() == 0
+    # prior snapshot time-travels to the undeleted rows
+    assert read_iceberg(spark, table_loc, snapshot_id=s1).count() == n
+    # the delete file is spec-shaped: (file_path, pos) sorted
+    meta_dir = os.path.join(table_loc, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        v = int(f.read())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as f:
+        meta = json.load(f)
+    assert meta["snapshots"][-1]["summary"][
+        "added-position-delete-records"
+    ] == str(n_kill)
+    import glob
+
+    del_files = glob.glob(
+        os.path.join(table_loc, "data", "snap-*-pos-deletes", "*.parquet")
+    )
+    assert del_files
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(del_files[0])
+    assert t.column_names == ["file_path", "pos"]
+
+
+def test_position_delete_spares_later_appends(spark, table_loc):
+    """Rows appended AFTER the position delete are untouched even when
+    they satisfy the deleted predicate (sequence-number rule)."""
+    from splink_spark.sources.iceberg_lite import delete_iceberg_where
+
+    base = spark.createDataFrame(
+        [(i, "x", i * 10) for i in range(10)],
+        "uid long, lang string, score long",
+    )
+    write_iceberg(base, table_loc, partition_by=["lang"])
+    delete_iceberg_where(spark, table_loc, "score >= 50")
+    assert read_iceberg(spark, table_loc).count() == 5
+    write_iceberg(
+        spark.createDataFrame(
+            [(100, "x", 990)], "uid long, lang string, score long"
+        ),
+        table_loc,
+        mode="append",
+    )
+    cur = read_iceberg(spark, table_loc)
+    assert cur.count() == 6
+    assert cur.filter("uid = 100").count() == 1
+
+
+def test_position_delete_composes_with_equality_delete(spark, table_loc):
+    from splink_spark.sources.iceberg_lite import (
+        delete_iceberg,
+        delete_iceberg_where,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "x", i % 3) for i in range(12)],
+        "uid long, lang string, grp long",
+    )
+    write_iceberg(base, table_loc, partition_by=["lang"])
+    delete_iceberg_where(spark, table_loc, "uid >= 9")  # kills 9,10,11
+    delete_iceberg(
+        spark.createDataFrame([(0,)], "grp long"), table_loc,
+        equality_cols=["grp"],
+    )  # kills grp=0 among survivors: 0,3,6
+    cur = read_iceberg(spark, table_loc)
+    got = sorted(r["uid"] for r in cur.collect())
+    assert got == [1, 2, 4, 5, 7, 8]
+
+
+def test_position_delete_pruned_read(spark, table_loc):
+    """Partition-pruned reads still apply position deletes."""
+    from splink_spark.sources.iceberg_lite import delete_iceberg_where
+
+    base = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(10)],
+        "uid long, lang string",
+    )
+    write_iceberg(base, table_loc, partition_by=["lang"])
+    delete_iceberg_where(spark, table_loc, "uid = 3 OR uid = 4")
+    a = read_iceberg(spark, table_loc, where={"lang": "a"})
+    assert sorted(r["uid"] for r in a.collect()) == [1, 5, 7, 9]
+    b = read_iceberg(spark, table_loc, where={"lang": "b"})
+    assert sorted(r["uid"] for r in b.collect()) == [0, 2, 6, 8]
