@@ -1565,10 +1565,12 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-byte downshift), GIFs through the from-scratch LZW codec
     (every third one ANIMATED: two frames, inset-rect frame 1
     composited over frame 0, some row-interlaced — the surfaced sums
-    come from the final composited canvas), and BASELINE JPEGs
-    through the full Huffman + dequant + IDCT path (DC-exact
-    synthesis: all-ones quant table + constant 8x8 blocks, so the
-    lossy-codec decode is still bit-reproducible) — then decoded back
+    come from the final composited canvas), and JPEGs through the
+    full Huffman + dequant + IDCT path — every other one PROGRESSIVE
+    (SOF2: DC/AC spectral bands + successive approximation across six
+    scans) — with DC-exact synthesis (all-ones quant table + constant
+    8x8 blocks, so the lossy-codec decode is still bit-reproducible)
+    — then decoded back
     to RGB by the stdlib-only decoders, surfacing integer per-channel
     pixel sums. The oracle replays the pixel formulas relationally
     (lateral range joins), so any wrong stride, filter predictor, LZW
@@ -1587,6 +1589,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_gif,
         make_gif_animated,
         make_jpeg,
+        make_jpeg_progressive,
         make_png,
         make_png16,
         make_png_interlaced,
@@ -1613,8 +1616,21 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     p = make_bmp(nc % 31 + 1, mid % 17 + 1, seed=mid)
                     rgb = decode_bmp(p)
                 elif mid % 4 == 3:
-                    codec = "jpeg"
-                    p = make_jpeg(nc % 29 + 1, mid % 15 + 1, seed=mid)
+                    # every other JPEG doc ships the SAME DC-exact
+                    # pixels as a PROGRESSIVE (SOF2) six-scan stream —
+                    # identical sums, but only a real Annex G decoder
+                    # (spectral bands + successive approximation)
+                    # recovers them
+                    if (mid // 4) % 2 == 1:
+                        codec = "jpeg_p"
+                        p = make_jpeg_progressive(
+                            nc % 29 + 1, mid % 15 + 1, seed=mid
+                        )
+                    else:
+                        codec = "jpeg"
+                        p = make_jpeg(
+                            nc % 29 + 1, mid % 15 + 1, seed=mid
+                        )
                     rgb = decode_jpeg(p)
                 elif mid % 4 == 2:
                     if (mid // 4) % 3 == 1:
@@ -2446,7 +2462,9 @@ def oracle_sql() -> dict[str, str]:
                             WHEN 2 THEN CASE
                                  WHEN (media_id // 4) % 3 = 1
                                  THEN 'gif_anim' ELSE 'gif' END
-                            WHEN 3 THEN 'jpeg'
+                            WHEN 3 THEN CASE
+                                 WHEN (media_id // 4) % 2 = 1
+                                 THEN 'jpeg_p' ELSE 'jpeg' END
                             ELSE CASE media_id % 3
                                  WHEN 1 THEN 'png_pal'
                                  WHEN 2 THEN 'png16'
@@ -2484,7 +2502,7 @@ def oracle_sql() -> dict[str, str]:
                             THEN (3 * x + y + media_id) % 256
                             WHEN codec = 'png_pal'
                             THEN (x + y + media_id) % npal
-                            WHEN codec = 'jpeg'
+                            WHEN codec IN ('jpeg', 'jpeg_p')
                             -- DC-exact blocks: value depends only on
                             -- the 8x8 block coordinates
                             THEN (3 * (x // 8) + 2 * (y // 8)
@@ -2506,6 +2524,7 @@ def oracle_sql() -> dict[str, str]:
                             THEN (base + 170) % 256
                             WHEN 'gif' THEN base
                             WHEN 'jpeg' THEN base
+                            WHEN 'jpeg_p' THEN base
                             WHEN 'png_pal' THEN (7 * base + media_id) % 256
                             ELSE base END) AS BIGINT) AS sum_r,
                    CAST(sum(CASE codec WHEN 'bmp'
@@ -2513,6 +2532,7 @@ def oracle_sql() -> dict[str, str]:
                             WHEN 'gif' THEN (base + 85) % 256
                             WHEN 'gif_anim' THEN (base + 85) % 256
                             WHEN 'jpeg' THEN base
+                            WHEN 'jpeg_p' THEN base
                             WHEN 'png_pal' THEN (13 * base + media_id) % 256
                             ELSE (base + 60) % 256 END) AS BIGINT)
                        AS sum_g,
@@ -2521,6 +2541,7 @@ def oracle_sql() -> dict[str, str]:
                             WHEN 'gif' THEN (base + 170) % 256
                             WHEN 'gif_anim' THEN (base + 170) % 256
                             WHEN 'jpeg' THEN base
+                            WHEN 'jpeg_p' THEN base
                             WHEN 'png_pal' THEN (29 * base + media_id) % 256
                             ELSE (base + 120) % 256 END) AS BIGINT)
                        AS sum_b

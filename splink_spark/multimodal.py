@@ -6,8 +6,10 @@ REAL — pure-Python struct readers for the published PNG / BMP / GIF /
 JPEG / RIFF-WAV container layouts plus stdlib-zlib PNG unfiltering
 (including Adam7 deinterlacing), a from-scratch GIF LZW codec with the
 full GIF89a animation model (disposal, transparency, interlacing), and
-a T.81 baseline-JPEG Huffman+IDCT decoder, no codec libraries needed.
-Remaining codecs (progressive/arithmetic JPEG, MP3, H.264, ...)
+a T.81 Huffman+IDCT JPEG decoder covering baseline (SOF0) and
+progressive (SOF2, Annex G spectral selection + successive
+approximation), no codec libraries needed. Remaining codecs
+(arithmetic-coded JPEG, MP3, H.264, ...)
 require libraries absent from this container:
 ``decode_image`` raises NotImplementedError for those unless
 ``fake=True``, in which case a deterministic fake decoder (md5-seeded)
@@ -691,13 +693,22 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """REAL decode of a baseline sequential JPEG (SOF0, Huffman, 8-bit)
-    into an (h, w, 3) uint8 RGB array — full marker walk, DQT (8/16
-    bit), multi-table DHT, DRI restart intervals, grayscale or 3
-    components with sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0),
-    dequantize + zigzag + separable float IDCT, nearest-neighbour
-    chroma upsampling, JFIF YCbCr->RGB. Raises ValueError on
-    progressive (SOF2), arithmetic-coded, or 12-bit streams."""
+    """REAL decode of a Huffman-coded 8-bit JPEG into an (h, w, 3)
+    uint8 RGB array — full marker walk, DQT (8/16 bit), multi-table
+    DHT (tables may be redefined between scans), DRI restart
+    intervals, grayscale or 3 components with sampling factors 1-2
+    (4:4:4 / 4:2:2 / 4:2:0), dequantize + zigzag + separable float
+    IDCT, nearest-neighbour chroma upsampling, JFIF YCbCr->RGB.
+
+    Both SEQUENTIAL (SOF0/SOF1, one interleaved scan) and PROGRESSIVE
+    (SOF2, T.81 Annex G: spectral selection Ss..Se, successive
+    approximation Ah/Al, DC-first + DC-refinement + AC-first with
+    EOBRUN + AC-refinement correction-bit scans, interleaved DC /
+    non-interleaved AC block orders) decode through ONE coefficient
+    accumulator — every scan updates the per-component quantized
+    coefficient grid, reconstruction happens once at EOI. Raises
+    ValueError on arithmetic-coded, lossless, hierarchical, or 12-bit
+    streams."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
@@ -706,7 +717,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, dict[tuple[int, int], int]] = {}
     frame = None
     restart_interval = 0
-    while pos + 4 <= len(payload):
+    coeffs: dict[int, np.ndarray] = {}
+    saw_scan = False
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = payload[pos + 1]
@@ -745,7 +758,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 fwd = _huffman_codes(bits, vals)
                 rev = {(ln, code): v for v, (code, ln) in fwd.items()}
                 (huff_dc if tc == 0 else huff_ac)[th] = rev
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 seq, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -760,8 +773,26 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 for c in comps
             ):
                 raise ValueError("sampling factors above 2 unsupported")
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {
+                "h": h,
+                "w": w,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            frame["hmax"], frame["vmax"] = hmax, vmax
+            frame["mcus_x"], frame["mcus_y"] = mcus_x, mcus_y
+            coeffs = {
+                c["id"]: np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64),
+                    dtype=np.int64,
+                )
+                for c in comps
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"non-baseline JPEG (SOF marker 0x{marker:02x})"
@@ -776,26 +807,50 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_sel.append((cs, tdta >> 4, tdta & 0x0F))
-            data_start = pos + seglen
-            return _decode_jpeg_scan(
-                payload, data_start, frame, scan_sel, qt,
-                huff_dc, huff_ac, restart_interval,
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if frame["progressive"]:
+                if not (ss == se == 0 or ss >= 1):
+                    raise ValueError("bad progressive spectral band")
+                if ss >= 1 and ns != 1:
+                    raise ValueError(
+                        "progressive AC scans must be single-component"
+                    )
+            elif not (ss == 0 and se == 63 and ah == 0 and al == 0):
+                raise ValueError("bad sequential scan parameters")
+            pos = _jpeg_entropy_scan(
+                payload, pos + seglen, frame, scan_sel,
+                (ss, se, ah, al), coeffs, huff_dc, huff_ac,
+                restart_interval,
             )
-        # APPn / COM / others: skip
+            saw_scan = True
+            continue
+        else:
+            pass  # APPn / COM / others: skip
         pos += seglen
-    raise ValueError("JPEG has no SOS scan")
+    if not saw_scan:
+        raise ValueError("JPEG has no SOS scan")
+    return _jpeg_reconstruct(frame, qt, coeffs)
 
 
-def _decode_jpeg_scan(
+def _jpeg_entropy_scan(
     payload: bytes,
     pos: int,
     frame: dict,
     scan_sel: list[tuple[int, int, int]],
-    qt: dict,
+    band: tuple[int, int, int, int],
+    coeffs: dict[int, np.ndarray],
     huff_dc: dict,
     huff_ac: dict,
     restart_interval: int,
-) -> np.ndarray:
+) -> int:
+    """Entropy-decode ONE scan into the per-component quantized
+    coefficient grids (zigzag order) and return the byte position of
+    the marker that ended the scan. Covers sequential full-band scans
+    and all four progressive scan kinds (T.81 Annex G): DC first, DC
+    refinement, AC first (EOBRUN), AC refinement (correction bits)."""
+    ss, se, ah, al = band
     # de-stuff the entropy stream, splitting at RST markers
     segments: list[bytes] = []
     cur = bytearray()
@@ -815,76 +870,189 @@ def _decode_jpeg_scan(
             segments.append(bytes(cur))
             cur = bytearray()
             i += 2
-        else:  # EOI or next marker
+        else:  # EOI or next marker: scan ends here
             break
     segments.append(bytes(cur))
+    end_pos = i
 
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
-    by_id = {c["id"]: c for c in comps}
-    order = []
-    for cs, td, ta in scan_sel:
-        c = by_id[cs]
-        order.append((c, td, ta))
-    planes = {
-        c["id"]: np.zeros(
-            (mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), dtype=np.float64
-        )
-        for c in comps
-    }
-    pred = {c["id"]: 0 for c in comps}
-    seg_idx = 0
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    mcus_x, mcus_y = frame["mcus_x"], frame["mcus_y"]
+    by_id = {c["id"]: c for c in frame["comps"]}
+    order = [(by_id[cs], td, ta) for cs, td, ta in scan_sel]
+
+    pred = {c["id"]: 0 for c, _, _ in order}
+    eob_run = 0
     reader = _BitReader(segments[0])
-    mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                seg_idx += 1
-                reader = _BitReader(segments[seg_idx])
-                pred = {c["id"]: 0 for c in comps}
-            for c, td, ta in order:
-                q = qt[c["tq"]]
-                dct = huff_dc[td]
-                act = huff_ac[ta]
-                for v in range(c["v"]):
-                    for hh in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = _huff_decode(reader, dct)
-                        diff = _extend(reader.bits(s), s) if s else 0
-                        pred[c["id"]] += diff
-                        zz[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, act)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            zz[k] = _extend(reader.bits(s), s)
-                            k += 1
-                        blk = np.zeros(64, dtype=np.float64)
-                        blk[_JPEG_ZIGZAG] = zz * q
-                        spatial = (
-                            _JPEG_DCT.T @ blk.reshape(8, 8) @ _JPEG_DCT
-                        ) + 128.0
-                        y0 = (my * c["v"] + v) * 8
-                        x0 = (mx * c["h"] + hh) * 8
-                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = spatial
-            mcu += 1
+    seg_idx = 0
 
-    # upsample each component to full MCU-grid resolution, then crop
+    def first_pass(zz, cid, dct, act) -> None:
+        """Sequential block / progressive first scan (Ah == 0)."""
+        nonlocal eob_run
+        k = ss
+        if ss == 0:
+            s = _huff_decode(reader, dct)
+            diff = _extend(reader.bits(s), s) if s else 0
+            pred[cid] += diff
+            zz[0] = pred[cid] << al
+            k = 1
+        if se == 0:
+            return
+        if eob_run > 0:  # inside an EOB run: whole AC band stays zero
+            eob_run -= 1
+            return
+        while k <= se:
+            rs = _huff_decode(reader, act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                # EOBn: run of (1<<r)+bits(r) all-zero bands,
+                # INCLUDING this one
+                eob_run = (1 << r) - 1 + (reader.bits(r) if r else 0)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow")
+            zz[k] = _extend(reader.bits(s), s) << al
+            k += 1
+
+    def refine_pass(zz, cid, act) -> None:
+        """Progressive refinement scan (Ah > 0): one correction bit
+        per already-nonzero coefficient, sign+bit for newly-nonzero
+        ones (T.81 G.1.2.2 DC / G.1.2.3 AC)."""
+        nonlocal eob_run
+        if ss == 0:
+            # DC refinement: append the next magnitude bit (bitwise
+            # OR is two's-complement-correct for negative values)
+            if reader.bit():
+                zz[0] |= 1 << al
+            return
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if eob_run == 0:
+            while k <= se:
+                rs = _huff_decode(reader, act)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        eob_run = (1 << r) + (
+                            reader.bits(r) if r else 0
+                        )
+                        break
+                    newval = 0  # ZRL: skip 16 zero-history coeffs
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "bad AC refinement magnitude"
+                        )
+                    newval = p1 if reader.bit() else m1
+                # advance over r zero-history positions, emitting a
+                # correction bit at every nonzero-history one passed
+                while k <= se:
+                    if zz[k] != 0:
+                        if reader.bit() and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if k <= se and newval:
+                    zz[k] = newval
+                k += 1
+        if eob_run > 0:
+            # rest of the band: correction bits only
+            while k <= se:
+                if zz[k] != 0 and reader.bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+                k += 1
+            eob_run -= 1
+
+    def do_block(zz, cid, dct, act) -> None:
+        if ah == 0:
+            first_pass(zz, cid, dct, act)
+        else:
+            refine_pass(zz, cid, act)
+
+    def restart() -> None:
+        nonlocal reader, seg_idx, pred, eob_run
+        seg_idx += 1
+        reader = _BitReader(segments[seg_idx])
+        pred = {c["id"]: 0 for c, _, _ in order}
+        eob_run = 0
+
+    # single-component progressive scans (all AC scans, and DC scans
+    # of one component) use the component's own block raster; every
+    # multi-component scan — and every sequential scan — is MCU-order
+    interleaved = len(order) > 1 or not frame["progressive"]
+    if interleaved:
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if (
+                    restart_interval
+                    and unit
+                    and unit % restart_interval == 0
+                ):
+                    restart()
+                for c, td, ta in order:
+                    dct = huff_dc.get(td)
+                    act = huff_ac.get(ta)
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            zz = coeffs[c["id"]][
+                                my * c["v"] + v, mx * c["h"] + hh
+                            ]
+                            do_block(zz, c["id"], dct, act)
+                unit += 1
+    else:
+        c, td, ta = order[0]
+        dct = huff_dc.get(td)
+        act = huff_ac.get(ta)
+        cw = (w * c["h"] + hmax - 1) // hmax
+        chh = (h * c["v"] + vmax - 1) // vmax
+        cbw = (cw + 7) // 8
+        cbh = (chh + 7) // 8
+        unit = 0
+        for by in range(cbh):
+            for bx in range(cbw):
+                if (
+                    restart_interval
+                    and unit
+                    and unit % restart_interval == 0
+                ):
+                    restart()
+                do_block(coeffs[c["id"]][by, bx], c["id"], dct, act)
+                unit += 1
+    return end_pos
+
+
+def _jpeg_reconstruct(
+    frame: dict, qt: dict, coeffs: dict[int, np.ndarray]
+) -> np.ndarray:
+    """Dequantize + de-zigzag + IDCT every block, upsample chroma,
+    crop to frame size, JFIF YCbCr->RGB (grayscale replicated)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     full = []
     for c in comps:
-        p = planes[c["id"]]
+        grid = coeffs[c["id"]]
+        bv, bh = grid.shape[:2]
+        # vectorized across blocks: dequant in zigzag order, scatter
+        # to natural order, batched separable IDCT
+        deq = grid.astype(np.float64) * qt[c["tq"]][None, None, :]
+        nat = np.zeros_like(deq)
+        nat[:, :, _JPEG_ZIGZAG] = deq
+        blocks = nat.reshape(bv, bh, 8, 8)
+        spatial = (
+            np.einsum(
+                "ux,ijuv,vy->ijxy", _JPEG_DCT, blocks, _JPEG_DCT
+            )
+            + 128.0
+        )
+        p = spatial.transpose(0, 2, 1, 3).reshape(bv * 8, bh * 8)
         if c["h"] < hmax:
             p = np.repeat(p, hmax // c["h"], axis=1)
         if c["v"] < vmax:
@@ -975,19 +1143,253 @@ def make_jpeg(width: int, height: int, seed: int = 0) -> bytes:
     )
 
 
+def _jpeg_pack_bits(tokens: list[tuple[int, int]]) -> bytes:
+    """Pack (value, nbits) tokens MSB-first, pad with 1s, byte-stuff
+    FF -> FF 00 (shared by the sequential and progressive writers)."""
+    acc = 0
+    nacc = 0
+    raw = bytearray()
+    for v, ln in tokens:
+        acc = (acc << ln) | (v & ((1 << ln) - 1) if ln else 0)
+        nacc += ln
+        while nacc >= 8:
+            raw.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+    if nacc:
+        raw.append(
+            ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+        )
+    stuffed = bytearray()
+    for b in raw:
+        stuffed.append(b)
+        if b == 0xFF:
+            stuffed.append(0x00)
+    return bytes(stuffed)
+
+
+def _jpeg_fixed_huffman(
+    symbols: set[int],
+) -> tuple[list[int], list[int], dict[int, tuple[int, int]]]:
+    """Equal-length canonical Huffman over exactly the symbols a scan
+    emits (progressive scans need EOBn symbols Annex K's typical
+    tables lack). Length L = ceil(log2(n+1)) keeps the all-ones code
+    unused, as T.81 Annex C requires."""
+    vals = sorted(symbols) if symbols else [0]
+    n = len(vals)
+    length = max(1, (n + 1 - 1).bit_length())
+    while (1 << length) <= n:  # need n < 2^L strictly (all-ones free)
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, vals, _huffman_codes(bits, vals)
+
+
+def _jpeg_progressive_from_coeffs(
+    width: int,
+    height: int,
+    blocks: "np.ndarray",
+    qtable: "np.ndarray",
+    scan_script: list[tuple[int, int, int, int]] | None = None,
+) -> bytes:
+    """Grayscale PROGRESSIVE (SOF2) JFIF stream from quantized
+    coefficient blocks (T.81 Annex G encoder): ``blocks`` is
+    (by, bx, 8, 8) natural-order quantized coefficients, ``qtable``
+    64 ints natural order. Each scan writes its own DHT (progressive
+    first-AC scans emit EOBn symbols, refinement scans emit
+    correction bits). Default script: DC first (Al=1) -> two AC bands
+    first (Al=1) -> DC refine -> two AC band refines."""
+    if scan_script is None:
+        scan_script = [
+            (0, 0, 0, 1),
+            (1, 31, 0, 1),
+            (32, 63, 0, 1),
+            (0, 0, 1, 0),
+            (1, 31, 1, 0),
+            (32, 63, 1, 0),
+        ]
+    nby, nbx = blocks.shape[:2]
+    zz_blocks = blocks.reshape(nby * nbx, 64)[:, _JPEG_ZIGZAG]
+
+    def encode_scan(ss, se, ah, al):
+        """-> (tokens, huff_symbols, is_dc). Tokens: ('h', sym) for
+        Huffman-coded symbols, ('b', val, n) for raw appended bits."""
+        toks: list[tuple] = []
+        syms: set[int] = set()
+
+        def h(sym):
+            toks.append(("h", sym))
+            syms.add(sym)
+
+        def rawbits(v, n):
+            if n:
+                toks.append(("b", v, n))
+
+        if ss == 0 and ah == 0:  # DC first (point transform = >> al)
+            pred = 0
+            for zz in zz_blocks:
+                v = int(zz[0]) >> al
+                diff = v - pred
+                pred = v
+                s = abs(diff).bit_length()
+                h(s)
+                rawbits(
+                    diff if diff >= 0 else diff + (1 << s) - 1, s
+                )
+            return toks, syms, True
+        if ss == 0:  # DC refinement: one magnitude bit per block
+            for zz in zz_blocks:
+                rawbits((int(zz[0]) >> al) & 1, 1)
+            return toks, syms, True
+
+        def flush_eobrun(state):
+            run, br = state["eobrun"], state["br"]
+            if run:
+                r = run.bit_length() - 1
+                h(r << 4)
+                rawbits(run - (1 << r), r)
+                state["eobrun"] = 0
+            if br:
+                for bit in br:
+                    rawbits(bit, 1)
+                state["br"] = []
+
+        state = {"eobrun": 0, "br": []}
+        if ah == 0:  # AC first: truncate-toward-zero by 2^al
+            for zz in zz_blocks:
+                r = 0
+                for k in range(ss, se + 1):
+                    c = int(zz[k])
+                    v = (abs(c) >> al) * (1 if c >= 0 else -1)
+                    if v == 0:
+                        r += 1
+                        continue
+                    flush_eobrun(state)
+                    while r > 15:
+                        h(0xF0)  # ZRL
+                        r -= 16
+                    s = abs(v).bit_length()
+                    h((r << 4) | s)
+                    rawbits(
+                        v if v >= 0 else v + (1 << s) - 1, s
+                    )
+                    r = 0
+                if r:
+                    state["eobrun"] += 1
+                    if state["eobrun"] == 0x7FFF:
+                        flush_eobrun(state)
+            flush_eobrun(state)
+            return toks, syms, False
+        # AC refinement (G.1.2.3): newly-significant = scaled
+        # magnitude exactly 1; older nonzeros get correction bits
+        for zz in zz_blocks:
+            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eob = -1
+            for idx, t in enumerate(absv):
+                if t == 1:
+                    eob = idx
+            r = 0
+            br: list[int] = []
+            for idx, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and idx <= eob:
+                    flush_eobrun(state)
+                    h(0xF0)
+                    r -= 16
+                    for bit in br:
+                        rawbits(bit, 1)
+                    br = []
+                if t > 1:  # already significant: correction bit
+                    br.append(t & 1)
+                    continue
+                flush_eobrun(state)
+                h((r << 4) | 1)
+                rawbits(1 if int(zz[ss + idx]) >= 0 else 0, 1)
+                for bit in br:
+                    rawbits(bit, 1)
+                br = []
+                r = 0
+            if r or br:
+                state["eobrun"] += 1
+                state["br"].extend(br)
+                if state["eobrun"] == 0x7FFF or len(state["br"]) > 900:
+                    flush_eobrun(state)
+        flush_eobrun(state)
+        return toks, syms, False
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(body) + 2
+        ) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(
+        0xDB,
+        bytes([0x00]) + bytes(int(q) & 0xFF for q in
+                              np.asarray(qtable).reshape(64)[
+                                  _JPEG_ZIGZAG]),
+    )
+    out += seg(
+        0xC2,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    for ss, se, ah, al in scan_script:
+        toks, syms, is_dc = encode_scan(ss, se, ah, al)
+        serial: list[tuple[int, int]] = []
+        if syms:
+            bits, vals, codes = _jpeg_fixed_huffman(syms)
+            tc = 0x00 if is_dc else 0x10
+            out += seg(
+                0xC4, bytes([tc]) + bytes(bits) + bytes(vals)
+            )
+            for t in toks:
+                if t[0] == "h":
+                    serial.append(codes[t[1]])
+                else:
+                    serial.append((t[1], t[2]))
+        else:
+            serial = [(t[1], t[2]) for t in toks if t[0] == "b"]
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += _jpeg_pack_bits(serial)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def make_jpeg_progressive(
+    width: int, height: int, seed: int = 0
+) -> bytes:
+    """Valid PROGRESSIVE grayscale JFIF JPEG with the same DC-exact
+    pixel law as ``make_jpeg`` — pixel(x, y) = (3*(x//8) + 2*(y//8) +
+    seed) % 256 — delivered across six spectral-selection /
+    successive-approximation scans (DC Al=1 -> AC bands -> DC refine
+    -> AC refines), so a correct Annex G decoder recovers the formula
+    bit-exactly and the oracle stays relationally replayable."""
+    bx = (width + 7) // 8
+    by = (height + 7) // 8
+    blocks = np.zeros((by, bx, 8, 8), dtype=np.int64)
+    j, i = np.mgrid[0:by, 0:bx]
+    blocks[:, :, 0, 0] = 8 * (((3 * i + 2 * j + seed) % 256) - 128)
+    return _jpeg_progressive_from_coeffs(
+        width, height, blocks, np.ones(64, dtype=np.int64)
+    )
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode + featurize an image payload.
 
     Uncompressed 24-bit BMP, PNG (gray/RGB/RGBA/palette at depths
     1-16, interlaced or not), GIF (single- or multi-frame, interlaced,
     transparency + disposal composited; features come from the first
-    composited canvas) and BASELINE JPEG (SOF0 Huffman, grayscale /
-    4:4:4 / 4:2:2 / 4:2:0) decode for REAL (header + numpy + stdlib
-    zlib + from-scratch LZW / Huffman + IDCT, see decode_bmp /
+    composited canvas) and Huffman JPEG — BASELINE (SOF0, grayscale /
+    4:4:4 / 4:2:2 / 4:2:0) and PROGRESSIVE (SOF2, spectral selection
+    + successive approximation) — decode for REAL (header + numpy +
+    stdlib zlib + from-scratch LZW / Huffman + IDCT, see decode_bmp /
     decode_png / decode_gif_frames / decode_jpeg). Remaining flavours
-    (progressive/arithmetic JPEG) raise NotImplementedError unless
-    ``fake=True``, which substitutes the deterministic md5-seeded
-    pseudo-decoder."""
+    (arithmetic-coded / lossless / hierarchical JPEG) raise
+    NotImplementedError unless ``fake=True``, which substitutes the
+    deterministic md5-seeded pseudo-decoder."""
     if payload and payload[:2] == b"BM":
         try:
             return _image_features(decode_bmp(payload))
@@ -1018,7 +1420,7 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             "present in this environment; pass fake=True for the "
             "deterministic stub (uncompressed 24-bit BMP, PNG at "
             "depths 1-16 incl. Adam7, single/multi-frame GIF and "
-            "baseline JPEG decode for real)"
+            "baseline + progressive Huffman JPEG decode for real)"
         )
     return _fake_features(payload)
 

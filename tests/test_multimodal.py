@@ -658,16 +658,21 @@ def test_jpeg_restart_intervals_reset_dc():
         assert (got[:, 8 * i:8 * (i + 1), :] == v).all(), (i, v)
 
 
-def test_jpeg_rejects_progressive_and_garbage():
+def test_jpeg_rejects_arithmetic_and_garbage():
     from splink_spark.multimodal import decode_jpeg, make_jpeg
 
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
-    # flip SOF0 -> SOF2 (progressive) in a valid stream
+    # flip SOF0 -> SOF9 (arithmetic-coded) in a valid stream
     p = bytearray(make_jpeg(16, 16, seed=1))
     i = bytes(p).index(b"\xff\xc0")
-    p[i + 1] = 0xC2
+    p[i + 1] = 0xC9
     with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(p))
+    # SOF2 with a sequential full-band scan is malformed progressive
+    p = bytearray(make_jpeg(16, 16, seed=1))
+    p[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="spectral band"):
         decode_jpeg(bytes(p))
 
 
@@ -831,3 +836,103 @@ def test_decode_image_animated_gif_branch():
     f_anim = decode_image(make_gif_animated(24, 16, seed=5, n_frames=3))
     f_single = decode_image(make_gif(24, 16, seed=5))
     assert (f_anim == f_single).all()
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (T.81 Annex G: spectral selection + successive
+# approximation)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_progressive_dc_exact_matches_sequential():
+    """The DC-exact synthesis decodes bit-identically through the
+    six-scan progressive script and the single-scan baseline."""
+    from splink_spark.multimodal import (
+        decode_jpeg,
+        make_jpeg,
+        make_jpeg_progressive,
+    )
+
+    for w, h, seed in [(8, 8, 0), (24, 16, 5), (17, 9, 3), (1, 1, 7)]:
+        a = decode_jpeg(make_jpeg(w, h, seed))
+        b = decode_jpeg(make_jpeg_progressive(w, h, seed))
+        assert a.shape == b.shape == (h, w, 3)
+        assert (a == b).all(), (w, h, seed)
+
+
+def test_jpeg_progressive_random_coeffs_match_baseline():
+    """Random quantized coefficient blocks encoded progressively
+    (EOBRUN, ZRL, newly-significant + correction bits) decode to the
+    SAME pixels as the independently-verified baseline encoding of
+    the same coefficients."""
+    from splink_spark.multimodal import (
+        _jpeg_progressive_from_coeffs,
+        decode_jpeg,
+    )
+
+    rng = np.random.default_rng(42)
+    q = np.ones(64, dtype=np.int64)
+    for trial in range(4):
+        bx, by = int(rng.integers(1, 5)), int(rng.integers(1, 5))
+        w = max(1, bx * 8 - int(rng.integers(0, 8)))
+        h = max(1, by * 8 - int(rng.integers(0, 8)))
+        blocks = np.zeros((by, bx, 8, 8), dtype=np.int64)
+        mask = rng.random((by, bx, 8, 8)) < 0.25
+        blocks[mask] = rng.integers(-60, 61, size=int(mask.sum()))
+        blocks[:, :, 0, 0] = rng.integers(-200, 200, size=(by, bx))
+        flat = [blocks[j, i] for j in range(by) for i in range(bx)]
+        a = decode_jpeg(
+            _jpeg_from_blocks(
+                [(1, 1, 1, 0)], {1: flat}, {0: q}, width=w, height=h
+            )
+        )
+        b = decode_jpeg(
+            _jpeg_progressive_from_coeffs(w, h, blocks, q)
+        )
+        assert (a == b).all(), f"trial {trial} ({w}x{h})"
+
+
+def test_jpeg_progressive_multilevel_and_quant():
+    """Two successive-approximation levels (Al=2 -> 1 -> 0), dense
+    blocks (no EOB in first scans), and a non-trivial quantization
+    table all reconcile with the baseline path."""
+    from splink_spark.multimodal import (
+        _jpeg_progressive_from_coeffs,
+        decode_jpeg,
+    )
+
+    rng = np.random.default_rng(9)
+    script = [
+        (0, 0, 0, 2), (1, 63, 0, 2), (0, 0, 2, 1),
+        (1, 63, 2, 1), (0, 0, 1, 0), (1, 63, 1, 0),
+    ]
+    blocks = rng.integers(-15, 16, size=(2, 2, 8, 8)).astype(np.int64)
+    blocks[blocks == 0] = 1  # dense: every coefficient nonzero
+    flat = [blocks[j, i] for j in range(2) for i in range(2)]
+    for q in (
+        np.ones(64, dtype=np.int64),
+        rng.integers(1, 9, size=64).astype(np.int64),
+    ):
+        a = decode_jpeg(
+            _jpeg_from_blocks(
+                [(1, 1, 1, 0)], {1: flat}, {0: q}, width=16, height=16
+            )
+        )
+        b = decode_jpeg(
+            _jpeg_progressive_from_coeffs(
+                16, 16, blocks, q, scan_script=script
+            )
+        )
+        assert (a == b).all()
+
+
+def test_decode_image_progressive_jpeg_branch():
+    from splink_spark.multimodal import (
+        decode_image,
+        make_jpeg,
+        make_jpeg_progressive,
+    )
+
+    f_prog = decode_image(make_jpeg_progressive(24, 16, seed=5))
+    f_base = decode_image(make_jpeg(24, 16, seed=5))
+    assert (f_prog == f_base).all()
