@@ -746,6 +746,47 @@ def q_o15_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_o15b_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components: the o15 blocking graph is
+    split into three deterministic edge batches and FOLDED into a
+    running (id, cluster) assignment via delta-graph CC
+    (incremental_connected_components) — the oracle is the SAME full
+    recursive-CTE closure as o15, so the fold must reproduce a
+    from-scratch re-run's labels exactly (min-member-id invariant).
+    reference: n/a (splink is batch-only; incremental O15 is the
+    streaming/trickle-load counterpart)."""
+    from splink_spark.operators.cluster import (
+        incremental_connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    edges = block_using_rules(
+        docs,
+        [
+            BlockingRule(
+                rule=(
+                    "l.source = r.source AND l.lang = r.lang "
+                    "AND abs(l.n_chars - r.n_chars) <= 2"
+                )
+            )
+        ],
+        uid=DOC_UID,
+    ).select(f"{DOC_UID}_l", f"{DOC_UID}_r").localCheckpoint()
+    assignments = spark.createDataFrame(
+        [], "unique_id long, cluster_id long"
+    )
+    for k in range(3):
+        batch = edges.filter(
+            (F.col(f"{DOC_UID}_l") + F.col(f"{DOC_UID}_r")) % 3 == k
+        )
+        assignments = incremental_connected_components(
+            assignments, batch, src=f"{DOC_UID}_l", dst=f"{DOC_UID}_r"
+        ).localCheckpoint()
+    return assignments.select(
+        F.col("unique_id").alias(DOC_UID), "cluster_id"
+    )
+
+
 def q_o25_cluster_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster graph metrics over the o15 component assignment.
     reference: splink/graph_metrics.py::compute_cluster_metrics.
@@ -1737,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o6_templates": q_o6_templates,
         "o14_lambda": q_o14_lambda,
         "o15_connected_components": q_o15_cluster,
+        "o15b_incremental_cc": q_o15b_incremental_cc,
         "o25_cluster_metrics": q_o25_cluster_metrics,
         "o18_self_link": q_o18_self_link,
         "o20_rule_discovery": q_o20_rule_discovery,
@@ -2273,6 +2315,7 @@ def oracle_sql() -> dict[str, str]:
             f"((SELECT count(*) FROM documents) - 1) / 2)) AS lambda_est"
         ),
         "o15_connected_components": cc_sql,
+        "o15b_incremental_cc": cc_sql,
         "o25_cluster_metrics": cluster_metrics_sql,
         "o17_incremental": incr_sql,
         "o19_block_census": (

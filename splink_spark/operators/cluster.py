@@ -131,6 +131,102 @@ def connected_components(
     )
 
 
+def incremental_connected_components(
+    assignments: DataFrame,
+    new_edges: DataFrame,
+    src: str = "unique_id_l",
+    dst: str = "unique_id_r",
+) -> DataFrame:
+    """Fold a batch of NEW edges into an existing (unique_id,
+    cluster_id) assignment without re-solving the full graph
+    (incremental O15 — the streaming/trickle-load counterpart of
+    ``connected_components``; reference: n/a, splink is batch-only).
+
+    Classic delta-graph trick: each new edge's endpoints map to their
+    current cluster representative (new nodes represent themselves),
+    connected components runs on the REPRESENTATIVE graph — sized by
+    the clusters touched this batch, not by every edge ever seen —
+    and the resulting root relabeling is broadcast back over the
+    assignment table. Because ``connected_components`` labels every
+    cluster by its minimum member id, the representative of a merged
+    group is the minimum over all member ids, so incremental folding
+    reproduces EXACTLY the labels a full re-run would give.
+
+    Scale shape: the big assignment table is touched by one broadcast
+    semi-join (endpoint lookup) and one broadcast left join (the
+    relabel map) — no full shuffle of the assignment table, no growth
+    with historical edge count.
+    """
+    e = _canonical_edges(new_edges, src, dst)
+    # node universe from the RAW edges (like connected_components): a
+    # node appearing only in a self-loop still gets a singleton row
+    ids = (
+        new_edges.select(F.col(src).alias("unique_id"))
+        .unionByName(new_edges.select(F.col(dst).alias("unique_id")))
+        .filter(F.col("unique_id").isNotNull())
+        .distinct()
+    )
+    # endpoint -> current representative (own id for unseen nodes);
+    # the endpoint set is the batch's nodes — small — so it broadcasts
+    # into the assignment scan instead of shuffling it
+    looked_up = assignments.join(
+        F.broadcast(ids), "unique_id", "inner"
+    ).select("unique_id", "cluster_id")
+    rep_of = ids.join(looked_up, "unique_id", "left").select(
+        "unique_id",
+        F.coalesce("cluster_id", "unique_id").alias("rep"),
+    )
+    rep_edges = (
+        e.join(
+            F.broadcast(
+                rep_of.withColumnRenamed("unique_id", "u")
+            ).withColumnRenamed("rep", "rep_l"),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                rep_of.withColumnRenamed("unique_id", "v")
+            ).withColumnRenamed("rep", "rep_r"),
+            "v",
+        )
+        .select(F.col("rep_l"), F.col("rep_r"))
+    )
+    # CC over the touched-cluster representative graph (small)
+    merged = connected_components(
+        rep_edges, src="rep_l", dst="rep_r"
+    ).withColumnRenamed("unique_id", "old_cluster_id")
+    relabel = merged.filter(
+        F.col("old_cluster_id") != F.col("cluster_id")
+    ).withColumnRenamed("cluster_id", "new_cluster_id")
+    updated = (
+        assignments.withColumnRenamed("cluster_id", "old_cluster_id")
+        .join(F.broadcast(relabel), "old_cluster_id", "left")
+        .select(
+            "unique_id",
+            F.coalesce("new_cluster_id", "old_cluster_id").alias(
+                "cluster_id"
+            ),
+        )
+    )
+    # append rows for genuinely new nodes (their rep carries any
+    # merge); anti-join against the SMALL endpoint lookup, not the
+    # full assignment table — no second scan of the big side
+    new_nodes = (
+        rep_of.join(
+            looked_up.select("unique_id"), "unique_id", "left_anti"
+        )
+        .withColumnRenamed("rep", "old_cluster_id")
+        .join(F.broadcast(relabel), "old_cluster_id", "left")
+        .select(
+            "unique_id",
+            F.coalesce("new_cluster_id", "old_cluster_id").alias(
+                "cluster_id"
+            ),
+        )
+    )
+    return updated.unionByName(new_nodes)
+
+
 def cluster_pairwise_predictions_at_threshold(
     predictions: DataFrame,
     nodes: DataFrame,

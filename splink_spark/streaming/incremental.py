@@ -207,3 +207,82 @@ def stream_sessionize(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def latest_cluster_assignments(
+    spark, state_path: str
+) -> "DataFrame | None":
+    """Read the newest versioned assignment snapshot under
+    ``state_path`` (written by ``stream_incremental_clusters``), or
+    None before the first batch."""
+    import os
+
+    if not os.path.isdir(state_path):
+        return None
+    versions = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(state_path)
+        if d.startswith("v=")
+    ]
+    if not versions:
+        return None
+    return spark.read.parquet(
+        os.path.join(state_path, f"v={max(versions)}")
+    )
+
+
+def stream_incremental_clusters(
+    edges_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    src: str = "unique_id_l",
+    dst: str = "unique_id_r",
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming transitive clustering: maintain a (unique_id,
+    cluster_id) assignment table as match edges arrive, each
+    micro-batch folded in via ``incremental_connected_components`` —
+    the delta-graph CC runs over the clusters the batch TOUCHES, never
+    over the full historical edge set, and labels stay identical to a
+    full batch re-run (min-member-id invariant).
+
+    State is a versioned parquet snapshot per micro-batch
+    (``state_path/v=<batch_id>``): the overwrite of a batch's own
+    version directory is idempotent under checkpoint replay, so the
+    stream is restart-safe; ``latest_cluster_assignments`` reads the
+    current table. reference: n/a (splink is batch-only; this is the
+    north-rule streaming counterpart of O15)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from splink_spark.operators.cluster import (
+        incremental_connected_components,
+    )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        prior = latest_cluster_assignments(spark, state_path)
+        if prior is None:
+            prior = (
+                batch_df.select(F.col(src).alias("unique_id"))
+                .limit(0)
+                .withColumn("cluster_id", F.col("unique_id"))
+            )
+        updated = incremental_connected_components(
+            prior, batch_df, src=src, dst=dst
+        )
+        updated.write.mode("overwrite").parquet(
+            os.path.join(state_path, f"v={batch_id}")
+        )
+
+    writer = (
+        edges_stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -130,3 +130,72 @@ def test_cluster_metrics_hand_graph(spark):
         for r in node_degree_table(edges, comps).collect()
     }
     assert deg[6] == 3 and deg[9] == 1 and deg[1] == 2
+
+
+# ---------------------------------------------------------------------------
+# incremental connected components (delta-graph folding)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_incremental_matches_full_cc(spark, seed):
+    """Folding random edge batches incrementally yields EXACTLY the
+    labels of one full CC over the union of all edges."""
+    from splink_spark.operators.cluster import (
+        incremental_connected_components,
+    )
+
+    rng = random.Random(seed)
+    n = 80
+    all_edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(120)
+    ]
+    batches = [all_edges[i::4] for i in range(4)]
+
+    assignments = spark.createDataFrame(
+        [], "unique_id long, cluster_id long"
+    )
+    for b in batches:
+        df = spark.createDataFrame(
+            b, "unique_id_l: long, unique_id_r: long"
+        )
+        assignments = incremental_connected_components(
+            assignments, df
+        ).localCheckpoint()
+
+    got = {
+        r["unique_id"]: r["cluster_id"] for r in assignments.collect()
+    }
+    full = spark.createDataFrame(
+        all_edges, "unique_id_l: long, unique_id_r: long"
+    )
+    exp = {
+        r["unique_id"]: r["cluster_id"]
+        for r in connected_components(full).collect()
+    }
+    assert got == exp
+
+
+def test_incremental_merges_and_new_nodes(spark):
+    """A batch can bridge two existing clusters AND introduce brand-new
+    nodes; labels stay min-member-id."""
+    from splink_spark.operators.cluster import (
+        incremental_connected_components,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (11, 10), (50, 50)],
+        "unique_id long, cluster_id long",
+    )
+    batch = spark.createDataFrame(
+        # bridge clusters 1 and 10; new chain 90-91; lone new self-loop
+        [(2, 11), (90, 91), (77, 77)],
+        "unique_id_l long, unique_id_r long",
+    )
+    got = {
+        r["unique_id"]: r["cluster_id"]
+        for r in incremental_connected_components(base, batch).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 10: 1, 11: 1, 50: 50, 90: 90, 91: 90, 77: 77,
+    }

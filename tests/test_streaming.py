@@ -262,3 +262,55 @@ def test_stream_sessionize_matches_batch(spark, tmp_path_factory):
     # the sentinel's own session closes only when a LATER watermark
     # passes it — it must not have been emitted in this batch
     assert ("z", t(600)) not in got
+
+
+def test_stream_incremental_clusters_match_batch(
+    spark, tmp_path_factory
+):
+    """Edges arriving across micro-batch files fold into the same
+    cluster assignment a single batch CC over all edges produces."""
+    import glob
+    import os
+
+    from splink_spark.operators.cluster import connected_components
+    from splink_spark.streaming.incremental import (
+        latest_cluster_assignments,
+        stream_incremental_clusters,
+    )
+
+    tmp = tmp_path_factory.mktemp("inc_clusters")
+    src_dir = tmp / "edges"
+    src_dir.mkdir()
+    batches = [
+        [(1, 2), (3, 4)],
+        [(2, 3), (10, 11)],     # bridges {1,2} and {3,4}
+        [(11, 12), (5, 5)],     # grows a cluster + self-loop singleton
+    ]
+    for i, b in enumerate(batches):
+        spark.createDataFrame(
+            b, "unique_id_l long, unique_id_r long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(src_dir / f"b{i}")
+        )
+    stream = spark.readStream.schema(
+        "unique_id_l long, unique_id_r long"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src_dir / "*"))
+    q = stream_incremental_clusters(
+        stream,
+        state_path=str(tmp / "state"),
+        checkpoint_path=str(tmp / "ckpt"),
+    )
+    q.awaitTermination(120)
+    cur = latest_cluster_assignments(spark, str(tmp / "state"))
+    got = {r["unique_id"]: r["cluster_id"] for r in cur.collect()}
+    full = spark.createDataFrame(
+        [e for b in batches for e in b],
+        "unique_id_l long, unique_id_r long",
+    )
+    exp = {
+        r["unique_id"]: r["cluster_id"]
+        for r in connected_components(full).collect()
+    }
+    assert got == exp
+    # versioned snapshots exist (one per non-empty micro-batch)
+    assert glob.glob(os.path.join(str(tmp / "state"), "v=*"))
