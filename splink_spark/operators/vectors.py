@@ -61,32 +61,68 @@ def comparison_viewer_data(
     comparison_vector_distribution_sql (+ the example rows the
     splink_comparison_viewer dashboard shows per pattern).
 
-    Scale note: examples come from min/max over a struct — ONE
-    partial+final hash aggregation, no per-pattern window sort. A
-    row_number window would sort the hot all-else pattern (by far the
-    largest group at web scale); min/max aggregate in constant memory
-    per group instead.
+    Scale note: an obvious one-shot ``min(struct(l, r))`` aggregate
+    CANNOT hash-aggregate — struct aggregation buffers are not
+    UnsafeRow-mutable, so Catalyst silently falls back to SortAggregate,
+    which sorts every pair row by gamma pattern map-side (verified by
+    tests/test_plans.py). A row_number window is worse still (one
+    reducer sorts the hot all-else pattern). Instead the lexicographic
+    min/max pair is decomposed into primitive-only aggregates that DO
+    hash:
+
+      1. hash-agg by (pattern, l): count, min(r), max(r)
+      2. hash-agg by pattern: pattern_count, min(l), max(l)
+      3. broadcast the tiny per-pattern table back onto (1) and pick
+         min(r) at l = min(l) / max(r) at l = max(l) with one more
+         hash-agg.
+
+    min(struct(l,r)) == (min l, min r among rows with that l), so the
+    result is identical and deterministic; the plan is three
+    partial+final hash aggregations and one broadcast join, never a
+    full sort of the pair table.
     """
     from pyspark.sql import functions as F
 
     gammas = settings.gamma_columns
-    pair = F.struct(
-        F.col(f"{uid}_l").alias("l"), F.col(f"{uid}_r").alias("r")
+    l, r = f"{uid}_l", f"{uid}_r"
+    per_l = vectors.groupBy(*gammas, l).agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min(r).alias("__rmin"),
+        F.max(r).alias("__rmax"),
     )
+    per_pattern = per_l.groupBy(*gammas).agg(
+        F.sum("__c").alias("pattern_count"),
+        F.min(l).alias("example_l_1"),
+        F.max(l).alias("example_l_2"),
+    )
+    joined = per_l.join(F.broadcast(per_pattern), on=list(gammas), how="inner")
     return (
-        vectors.groupBy(*gammas)
+        joined.filter(
+            F.col(l).eqNullSafe(F.col("example_l_1"))
+            | F.col(l).eqNullSafe(F.col("example_l_2"))
+        )
+        .groupBy(*gammas, "pattern_count", "example_l_1", "example_l_2")
         .agg(
-            F.count(F.lit(1)).alias("pattern_count"),
-            F.min(pair).alias("__ex1"),
-            F.max(pair).alias("__ex2"),
+            F.min(
+                F.when(
+                    F.col(l).eqNullSafe(F.col("example_l_1")),
+                    F.col("__rmin"),
+                )
+            ).alias("example_r_1"),
+            F.max(
+                F.when(
+                    F.col(l).eqNullSafe(F.col("example_l_2")),
+                    F.col("__rmax"),
+                )
+            ).alias("example_r_2"),
         )
         .select(
             *gammas,
             "pattern_count",
-            F.col("__ex1.l").alias("example_l_1"),
-            F.col("__ex1.r").alias("example_r_1"),
-            F.col("__ex2.l").alias("example_l_2"),
-            F.col("__ex2.r").alias("example_r_2"),
+            "example_l_1",
+            "example_r_1",
+            "example_l_2",
+            "example_r_2",
         )
     )
 
