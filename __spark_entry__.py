@@ -746,6 +746,35 @@ def q_o15_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_o16_cluster_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16 — cluster join-back: threshold the o7 predictions at 0.5,
+    solve connected components on the surviving edges, and LEFT-join the
+    cluster labels back onto the full node table so records absent from
+    every retained edge come through as singleton clusters (cluster_id =
+    own id), carrying their attributes.
+    reference: splink/clustering.py::
+    cluster_pairwise_predictions_at_threshold (the join-back CTE
+    __splink__clusters_at_threshold)."""
+    from splink_spark.operators.cluster import (
+        cluster_pairwise_predictions_at_threshold,
+    )
+
+    settings = documents_settings()
+    docs = _docs(spark, sf_dir)
+    preds = predict_from_comparison_vectors(
+        _vectors(spark, sf_dir), settings
+    )
+    out = cluster_pairwise_predictions_at_threshold(
+        preds,
+        docs,
+        0.5,
+        uid=DOC_UID,
+        src=f"{DOC_UID}_l",
+        dst=f"{DOC_UID}_r",
+    )
+    return out.select(DOC_UID, "lang", "source", "n_chars", "cluster_id")
+
+
 def q_o15b_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental connected components: the o15 blocking graph is
     split into three deterministic edge batches and FOLDED into a
@@ -1779,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o14_lambda": q_o14_lambda,
         "o15_connected_components": q_o15_cluster,
         "o15b_incremental_cc": q_o15b_incremental_cc,
+        "o16_cluster_joinback": q_o16_cluster_joinback,
         "o25_cluster_metrics": q_o25_cluster_metrics,
         "o18_self_link": q_o18_self_link,
         "o20_rule_discovery": q_o20_rule_discovery,
@@ -2316,6 +2346,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "o15_connected_components": cc_sql,
         "o15b_incremental_cc": cc_sql,
+        "o16_cluster_joinback": f"""
+            WITH RECURSIVE preds AS ({predict_sql}),
+            edges AS (
+                SELECT {DOC_UID}_l AS u, {DOC_UID}_r AS v FROM preds
+                WHERE match_probability >= 0.5),
+            sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+            nodes AS (SELECT DISTINCT u AS n FROM sym),
+            reach(n, m) AS (
+                SELECT n, n FROM nodes
+                UNION
+                SELECT r.n, s.v FROM reach r JOIN sym s ON r.m = s.u
+            ),
+            clus AS (SELECT n AS id, min(m) AS cluster_id
+                     FROM reach GROUP BY n)
+            SELECT d.{DOC_UID}, d.lang, d.source, d.n_chars,
+                   coalesce(c.cluster_id, d.{DOC_UID}) AS cluster_id
+            FROM documents d LEFT JOIN clus c ON d.{DOC_UID} = c.id
+        """,
         "o25_cluster_metrics": cluster_metrics_sql,
         "o17_incremental": incr_sql,
         "o19_block_census": (
