@@ -275,3 +275,50 @@ def test_column_pruning_reaches_scan_through_self_join(spark, docs):
     assert read_schemas, p
     for ln in read_schemas:
         assert "text" not in ln, ln
+
+
+def test_sessionize_one_shuffle_one_sort(spark):
+    """Sessionize claims ONE shuffle on the user key with lag and the
+    running session sum sharing a single sort (sessions.py docstring).
+    Two Window nodes are expected (the sum consumes lag's output) but
+    they must reuse the same Exchange and the same Sort."""
+    from splink_spark.operators.sessions import sessionize
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = sessionize(events)
+    p = plan_str(out, mode="simple")
+    assert p.count("Exchange") == 1, p
+    assert p.count("Sort") == 1, p
+    assert p.count("Window") == 2, p
+
+
+def test_minhash_lsh_joins_are_equi(spark, docs):
+    """MinHash LSH candidate generation must plan as per-band equi
+    self-joins — never a cartesian/nested-loop — with the NOT-previous-
+    band dedup folded into the join predicates."""
+    from splink_spark.operators.dedup import minhash_lsh_candidates
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cands = minhash_lsh_candidates(
+            docs, id_col="unique_id", num_bands=4
+        )
+        equi, bad, _ = join_counts(cands)
+        p = plan_str(cands, mode="simple")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert bad == 0, p
+    assert equi == 4, p  # one equi join per band
+
+
+def test_session_stats_is_hash_aggregate(spark):
+    """Per-session aggregation must hash-aggregate (all-primitive
+    buffers), reusing the sessionize shuffle's partitioning where
+    possible — and never sort-aggregate."""
+    from splink_spark.operators.sessions import session_stats, sessionize
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = session_stats(sessionize(events))
+    p = plan_str(out, mode="simple")
+    assert "HashAggregate" in p, p
+    assert "SortAggregate" not in p, p
