@@ -36,6 +36,7 @@ from splink_spark.operators.training import (
     EMResult,
     apply_u_estimates,
     estimate_m_from_label_column,
+    estimate_m_from_pairwise_labels,
     estimate_parameters_using_em,
     estimate_probability_two_random_records_match,
     estimate_u,
@@ -162,6 +163,34 @@ class Linker:
             threshold_match_weight=threshold_match_weight,
         )
 
+    def deterministic_link(
+        self, rules: list[BlockingRule | str] | None = None
+    ) -> DataFrame:
+        """Pairwise predictions from deterministic match rules alone — no
+        Fellegi-Sunter scoring. Every candidate pair the rules generate is
+        declared a match (``match_probability`` = 1.0), so for this mode
+        the rules must be strict enough to admit only true links. The
+        output feeds ``cluster_pairwise_predictions_at_threshold`` (any
+        threshold ≤ 1.0) for transitive closure, exactly like ``predict``.
+
+        ``rules`` defaults to the settings' blocking rules, matching the
+        reference's behaviour of reusing
+        ``blocking_rules_to_generate_predictions``.
+
+        reference: splink/inference.py::deterministic_link.
+        """
+        pairs = (
+            self.blocked_pairs()
+            if rules is None
+            else self.blocked_pairs(
+                [
+                    r if isinstance(r, BlockingRule) else BlockingRule(rule=r)
+                    for r in rules
+                ]
+            )
+        )
+        return pairs.withColumn("match_probability", F.lit(1.0))
+
     # -- training ----------------------------------------------------------
 
     def estimate_u_using_random_sampling(
@@ -222,6 +251,21 @@ class Linker:
     def estimate_m_from_label_column(self, label_column: str) -> None:
         m = estimate_m_from_label_column(
             self.concat_with_tf(), self.settings, label_column
+        )
+        for ci, comp in enumerate(self.settings.comparisons):
+            for lv in comp.scored_levels:
+                lv.m_probability = float(m[ci][comp.gamma_of(lv)])
+
+    def estimate_m_from_pairwise_labels(self, labels: DataFrame) -> None:
+        """Direct m estimates from a labelled pair table with
+        ``<uid>_l`` / ``<uid>_r`` columns (optionally
+        ``clerical_match_score``; rows under 0.5 are dropped).
+
+        reference: splink/m_from_labels.py::estimate_m_from_pairwise_labels
+        (exposed on the Linker like the reference's training API).
+        """
+        m = estimate_m_from_pairwise_labels(
+            self.concat_with_tf(), self.settings, labels
         )
         for ci, comp in enumerate(self.settings.comparisons):
             for lv in comp.scored_levels:

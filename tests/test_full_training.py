@@ -144,3 +144,62 @@ def test_m_from_labels_matches_ground_truth_direction(persons):
     # fuzzy/else levels
     ms = [lv.m_probability for lv in email.scored_levels]
     assert ms[0] > ms[-1]
+
+
+def test_m_from_pairwise_labels_linker_surface(persons):
+    """Linker.estimate_m_from_pairwise_labels on true pairs agrees in
+    direction with the label-column estimator (exact levels dominate)."""
+    settings = _person_settings()
+    linker = Linker(persons.drop("cluster"), settings)
+    true_pairs = _labels(persons).filter("is_match").select(
+        "unique_id_l", "unique_id_r"
+    )
+    linker.estimate_m_from_pairwise_labels(true_pairs)
+    for name in ("email", "dob"):
+        ms = [lv.m_probability for lv in settings.comparison(name).scored_levels]
+        assert all(v is not None for v in ms)
+        assert ms[0] > ms[-1]
+
+
+def test_deterministic_link_pairs_and_clusters(persons):
+    """deterministic_link declares every rule-generated pair a match
+    (probability exactly 1.0, same pair set as blocked_pairs) and its
+    output clusters through the standard join-back with high precision
+    on strict rules."""
+    settings = _person_settings()
+    linker = Linker(persons.drop("cluster"), settings)
+    strict = [
+        "l.first_name = r.first_name AND l.surname = r.surname "
+        "AND l.dob = r.dob"
+    ]
+    preds = linker.deterministic_link(strict)
+    assert preds.filter("match_probability <> 1.0").count() == 0
+    n_pairs = preds.count()
+    assert n_pairs == linker.blocked_pairs(
+        [BlockingRule(strict[0])]
+    ).count() > 0
+
+    clusters = linker.cluster_pairwise_predictions_at_threshold(preds, 0.99)
+    # every deterministic pair must land in one cluster (transitivity)
+    joined = (
+        preds.select("unique_id_l", "unique_id_r")
+        .join(
+            clusters.select(
+                F.col("unique_id").alias("unique_id_l"),
+                F.col("cluster_id").alias("c_l"),
+            ),
+            "unique_id_l",
+        )
+        .join(
+            clusters.select(
+                F.col("unique_id").alias("unique_id_r"),
+                F.col("cluster_id").alias("c_r"),
+            ),
+            "unique_id_r",
+        )
+    )
+    assert joined.filter("c_l <> c_r").count() == 0
+    # strict equality on three fields is precision-heavy vs the planted
+    # truth: no cross-entity pair should be generated
+    m = pairwise_f1_from_clusters(clusters, _labels(persons))
+    assert m["precision"] >= 0.95, m
