@@ -1571,7 +1571,9 @@ def q_iceberg_lite_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from splink_spark.sources.iceberg_lite import (
+        drop_iceberg_column,
         read_iceberg,
+        rename_iceberg_column,
         write_iceberg,
     )
 
@@ -1593,17 +1595,19 @@ def q_iceberg_lite_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col(DOC_UID) % 5 == 0)
     )
-    write_iceberg(extra, loc, mode="append")
+    s2 = write_iceberg(extra, loc, mode="append")
     min_lang = (
         docs.filter(F.col("lang").isNotNull())
         .agg(F.min("lang"))
         .collect()[0][0]
     )
 
-    def state(label: str, df: DataFrame) -> DataFrame:
+    def state(
+        label: str, df: DataFrame, chars_col: str = "n_chars"
+    ) -> DataFrame:
         chars = (
-            F.sum("n_chars").cast("long")
-            if "n_chars" in df.columns
+            F.sum(chars_col).cast("long")
+            if chars_col in df.columns
             else F.lit(None).cast("long")
         )
         return df.agg(
@@ -1619,6 +1623,26 @@ def q_iceberg_lite_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         state(
             "s2_pruned",
             read_iceberg(spark, loc, where={"lang": min_lang}),
+        )
+    )
+    # rename (metadata-only): current reads present char_count with the
+    # SAME values — files written under the old name resolve by field id
+    rename_iceberg_column(loc, "n_chars", "char_count")
+    out = out.unionByName(
+        state(
+            "s3_renamed", read_iceberg(spark, loc), chars_col="char_count"
+        )
+    )
+    # drop: the column disappears from current reads (rows remain)...
+    drop_iceberg_column(loc, "char_count")
+    out = out.unionByName(state("s4_dropped", read_iceberg(spark, loc)))
+    # ...but time travel to the pre-drop snapshot presents it again,
+    # under the name current when that snapshot was stamped
+    out = out.unionByName(
+        state(
+            "s2_after_drop",
+            read_iceberg(spark, loc, snapshot_id=s2),
+            chars_col="n_chars",
         )
     )
     return out
@@ -2530,6 +2554,21 @@ def oracle_sql() -> dict[str, str]:
                 WHERE uid % 5 = 0
                   AND lang = (SELECT min(lang) FROM d
                               WHERE lang IS NOT NULL)
+                UNION ALL
+                SELECT 's3_renamed', uid, CAST(NULL AS BIGINT) FROM d
+                UNION ALL
+                SELECT 's3_renamed', uid, CAST(nc AS BIGINT) FROM d
+                WHERE uid % 5 = 0
+                UNION ALL
+                SELECT 's4_dropped', uid, CAST(NULL AS BIGINT) FROM d
+                UNION ALL
+                SELECT 's4_dropped', uid, CAST(NULL AS BIGINT) FROM d
+                WHERE uid % 5 = 0
+                UNION ALL
+                SELECT 's2_after_drop', uid, CAST(NULL AS BIGINT) FROM d
+                UNION ALL
+                SELECT 's2_after_drop', uid, CAST(nc AS BIGINT) FROM d
+                WHERE uid % 5 = 0
             )
             SELECT snap,
                    CAST(count(*) AS BIGINT) AS n_docs,

@@ -48,8 +48,19 @@ What this implements (spec sections in parentheses):
   use mergeSchema and project to the snapshot schema (columns absent
   from every selected file become typed nulls).
 
+- rename/drop column evolution (Spec: Schema Evolution): metadata-only
+  commits that register a new current schema; the field id is the
+  identity — reads resolve files written under older schemas through
+  the field's name history (coalesce across historical names in a
+  mergeSchema read), time travel presents each snapshot under its
+  stamped schema, partition columns can be renamed (manifest pruning
+  and overwrite matching follow the name history) but not dropped.
+  One lite-specific restriction, enforced at commit time: a column
+  name can never move between field ids (real Iceberg resolves by
+  parquet field-id metadata; lite files carry only names).
+
 Not implemented (documented scope): non-identity transforms, column
-drops/renames/retypes, format v3.
+retypes, format v3.
 Write path materialises one partition directory per distinct value
 via a filtered Spark write — fine for the fixture scales this
 sandbox tests; a production writer would single-pass ``partitionBy``
@@ -102,6 +113,53 @@ def _iceberg_schema(df: DataFrame) -> dict:
             }
         )
     return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def _field_name_history(meta: dict) -> dict[int, list[str]]:
+    """Every name each field id has EVER had, in schema order — the
+    resolution table for reading files written under older schemas
+    (the spec resolves columns by field id; lite tables track the
+    id→name history instead of writing field-id parquet metadata)."""
+    hist: dict[int, list[str]] = {}
+    for sch in meta["schemas"]:
+        for f in sch["fields"]:
+            names = hist.setdefault(f["id"], [])
+            if f["name"] not in names:
+                names.append(f["name"])
+    return hist
+
+
+def _name_owner_ids(meta: dict) -> dict[str, set[int]]:
+    """Which field id(s) ever owned each column name. Correct file
+    resolution requires every physical name to map to exactly ONE
+    field id, so rename/add reject names previously owned by another
+    field (the spec allows reuse because real parquet carries field
+    ids; lite tables cannot)."""
+    owners: dict[str, set[int]] = {}
+    for sch in meta["schemas"]:
+        for f in sch["fields"]:
+            owners.setdefault(f["name"], set()).add(f["id"])
+    return owners
+
+
+def _pget(part: dict, names: list[str]):
+    """Partition-dict lookup across a column's historical names (old
+    manifests key partition values by the name current at write time)."""
+    for n in names:
+        if n in part:
+            return part[n]
+    return None
+
+
+def _partition_name_history(meta: dict) -> dict[str, list[str]]:
+    """current partition column name -> all names it has ever had."""
+    cur = meta["schemas"][meta["current-schema-id"]]
+    name_to_id = {f["name"]: f["id"] for f in cur["fields"]}
+    hist = _field_name_history(meta)
+    return {
+        c: hist.get(name_to_id.get(c, -1), [c])
+        for c in meta["_iceberg_lite_partition_by"]
+    }
 
 
 def _partition_struct_schema(partition_by: list[str], schema: dict):
@@ -253,20 +311,26 @@ def _list_parquet_files(d: str) -> list[str]:
 
 
 def _partition_summaries(
-    entries: list[dict], partition_by: list[str]
+    entries: list[dict],
+    partition_by: list[str],
+    name_history: dict[str, list[str]] | None = None,
 ) -> list[dict] | None:
     """Per-partition-field lower/upper-bound summaries for
     manifest-list pruning, computed over the LIVE entries of one
     manifest (deleted entries are skipped post-read anyway, so bounds
-    over survivors keep pruning exact)."""
+    over survivors keep pruning exact). ``name_history`` maps each
+    current partition name to its historical names so entries written
+    before a column rename still resolve."""
     if not partition_by:
         return None
     live = [e for e in entries if e["status"] != 2]
     if not live:
         return None
+    hist = name_history or {}
     summaries = []
     for c in partition_by:
-        vals = [e["data_file"]["partition"][c] for e in live]
+        names = hist.get(c, [c])
+        vals = [_pget(e["data_file"]["partition"], names) for e in live]
         non_null = sorted(v for v in vals if v is not None)
         summaries.append(
             {
@@ -372,6 +436,14 @@ def write_iceberg(
             )
         new_names = [n for n in df.columns if n not in cur_names]
         if new_names:
+            owners = _name_owner_ids(meta)
+            reused = [n for n in new_names if n in owners]
+            if reused:
+                raise ValueError(
+                    f"column names {reused} were used by earlier schema "
+                    "versions; lite tables resolve files by name history, "
+                    "so dropped/renamed-away names cannot be reused"
+                )
             fresh = _iceberg_schema(df.select(*new_names))
             last_id = meta["last-column-id"]
             add_fields = [
@@ -487,6 +559,7 @@ def write_iceberg(
     # table size.
     deleted_files = deleted_rows = 0
     if mode == "overwrite_partitions":
+        part_hist = _partition_name_history(meta)
         new_parts = {
             tuple(
                 e["data_file"]["partition"].get(c)
@@ -503,7 +576,10 @@ def write_iceberg(
                     return True  # unpartitioned overwrite = replace all
                 return (
                     tuple(
-                        e["data_file"]["partition"].get(c)
+                        _pget(
+                            e["data_file"]["partition"],
+                            part_hist.get(c, [c]),
+                        )
                         for c in partition_by
                     )
                     in new_parts
@@ -564,7 +640,7 @@ def write_iceberg(
                     ),
                     "deleted_rows_count": mf_deleted_rows,
                     "partitions": _partition_summaries(
-                        out_entries, partition_by
+                        out_entries, partition_by, part_hist
                     ),
                 }
             )
@@ -628,6 +704,119 @@ def write_iceberg(
     )
     _write_metadata(location, meta, version + 1)
     return snapshot_id
+
+
+def rename_iceberg_column(location: str, old: str, new: str) -> None:
+    """Rename a column (Spec: Schema Evolution — metadata-only commit,
+    no new snapshot). The field keeps its id; a new schema entry is
+    registered and becomes current. Existing data files are untouched:
+    reads resolve them through the field's name history. Time travel
+    to snapshots stamped with older schema ids still presents the old
+    name. The new name must never have belonged to a different field
+    (lite tables resolve by name history, not parquet field ids)."""
+    meta = _load_metadata(location)
+    hint = os.path.join(location, "metadata", "version-hint.text")
+    with open(hint) as f:
+        version = int(f.read().strip())
+    cur = meta["schemas"][meta["current-schema-id"]]
+    field = next((f for f in cur["fields"] if f["name"] == old), None)
+    if field is None:
+        raise ValueError(
+            f"no column {old!r} in current schema "
+            f"{[f['name'] for f in cur['fields']]}"
+        )
+    if new == old:
+        return
+    owners = _name_owner_ids(meta)
+    if new in owners and owners[new] != {field["id"]}:
+        raise ValueError(
+            f"column name {new!r} was used by another field "
+            f"(ids {sorted(owners[new])}); lite tables resolve files "
+            "by name history, so names cannot move between fields"
+        )
+    meta["schemas"].append(
+        {
+            "type": "struct",
+            "schema-id": len(meta["schemas"]),
+            "fields": [
+                {**f, "name": new} if f["id"] == field["id"] else f
+                for f in cur["fields"]
+            ],
+        }
+    )
+    meta["current-schema-id"] = len(meta["schemas"]) - 1
+    part_by = meta["_iceberg_lite_partition_by"]
+    if old in part_by:
+        meta["_iceberg_lite_partition_by"] = [
+            new if c == old else c for c in part_by
+        ]
+        for spec in meta["partition-specs"]:
+            for pf in spec["fields"]:
+                if pf["source-id"] == field["id"]:
+                    pf["name"] = new
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_metadata(location, meta, version + 1)
+
+
+def drop_iceberg_column(location: str, name: str) -> None:
+    """Drop a column (Spec: Schema Evolution — metadata-only commit).
+    Data files keep the physical column; reads under the new schema no
+    longer project it, and time travel to older snapshots presents it
+    again. The field id is retired, never reused, and the name cannot
+    be re-added later (no-reuse rule). Partition columns cannot be
+    dropped, nor can columns referenced by an equality-delete file
+    that is still live in the current snapshot (the read path applies
+    those deletes on the projected frame)."""
+    meta = _load_metadata(location)
+    hint = os.path.join(location, "metadata", "version-hint.text")
+    with open(hint) as f:
+        version = int(f.read().strip())
+    cur = meta["schemas"][meta["current-schema-id"]]
+    field = next((f for f in cur["fields"] if f["name"] == name), None)
+    if field is None:
+        raise ValueError(
+            f"no column {name!r} in current schema "
+            f"{[f['name'] for f in cur['fields']]}"
+        )
+    if name in meta["_iceberg_lite_partition_by"]:
+        raise ValueError(f"cannot drop partition column {name!r}")
+    snap = next(
+        (
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        ),
+        None,
+    )
+    if snap is not None:
+        _, manifests = read_avro(snap["manifest-list"])
+        for mf in manifests:
+            if mf.get("content", 0) != 1:
+                continue
+            _, entries = read_avro(mf["manifest_path"])
+            for e in entries:
+                if e["status"] == 2:
+                    continue
+                if field["id"] in (
+                    e["data_file"].get("equality_ids") or []
+                ):
+                    raise ValueError(
+                        f"column {name!r} is referenced by a live "
+                        "equality-delete file; compact or rewrite the "
+                        "table before dropping it"
+                    )
+    meta["schemas"].append(
+        {
+            "type": "struct",
+            "schema-id": len(meta["schemas"]),
+            "fields": [
+                f for f in cur["fields"] if f["id"] != field["id"]
+            ],
+        }
+    )
+    meta["current-schema-id"] = len(meta["schemas"]) - 1
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_metadata(location, meta, version + 1)
 
 
 def delete_iceberg(
@@ -897,8 +1086,7 @@ def _scan_plan(
     partition-pruned scan still loads them (they are tiny key lists)."""
     meta = _load_metadata(location)
     partition_by = meta["_iceberg_lite_partition_by"]
-    schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
-    id_to_name = {f["id"]: f["name"] for f in schema_fields}
+    part_hist = _partition_name_history(meta)
     sid = (
         meta["current-snapshot-id"]
         if snapshot_id is None
@@ -908,6 +1096,15 @@ def _scan_plan(
         (s for s in meta["snapshots"] if s["snapshot-id"] == sid),
         None,
     )
+    # map equality_ids to the PRESENTATION schema's names (current for
+    # a current read, the snapshot's stamped schema for time travel) so
+    # the delete anti-join columns match what read_iceberg presents
+    schema_fields = meta["schemas"][
+        meta["current-schema-id"]
+        if snapshot_id is None
+        else (snap or {}).get("schema-id", meta["current-schema-id"])
+    ]["fields"]
+    id_to_name = {f["id"]: f["name"] for f in schema_fields}
     if snap is None:
         raise ValueError(
             f"snapshot {sid} not found; have "
@@ -977,7 +1174,8 @@ def _scan_plan(
                 continue
             part = e["data_file"]["partition"]
             if any(
-                part.get(c) != str(v) for c, v in where.items()
+                _pget(part, part_hist.get(c, [c])) != str(v)
+                for c, v in where.items()
             ):
                 continue
             data.append(
@@ -1036,9 +1234,15 @@ def read_iceberg(
     snap = next(
         (s for s in meta["snapshots"] if s["snapshot-id"] == sid), None
     )
+    # presentation schema: a read of the CURRENT table uses the current
+    # schema (rename/drop are metadata-only commits that create no
+    # snapshot); time travel presents the snapshot under ITS schema
     schema = meta["schemas"][
-        (snap or {}).get("schema-id", meta["current-schema-id"])
+        meta["current-schema-id"]
+        if snapshot_id is None
+        else (snap or {}).get("schema-id", meta["current-schema-id"])
     ]
+    name_history = _field_name_history(meta)
     multi_schema = len(meta["schemas"]) > 1
     _ICEBERG_TO_SPARK = {
         "long": "long", "int": "int", "string": "string",
@@ -1066,13 +1270,29 @@ def read_iceberg(
                 F.col("_metadata.row_index").alias("__pos"),
             ]
         for f in schema["fields"]:
-            if f["name"] in df.columns:
-                cols.append(F.col(f["name"]))
-            else:
+            # resolve by field id: a file written under an older schema
+            # carries the name current at ITS write time, so coalesce
+            # across the field's name history (names are disjoint per
+            # file — exactly one is non-absent — and the no-reuse rule
+            # guarantees each physical name maps to one field id)
+            cands = [
+                n
+                for n in name_history.get(f["id"], [f["name"]])
+                if n in df.columns
+            ]
+            if not cands:
                 cols.append(
                     F.lit(None)
                     .cast(_ICEBERG_TO_SPARK.get(f["type"], "binary"))
                     .alias(f["name"])
+                )
+            elif len(cands) == 1:
+                cols.append(F.col(cands[0]).alias(f["name"]))
+            else:
+                cols.append(
+                    F.coalesce(*[F.col(n) for n in cands]).alias(
+                        f["name"]
+                    )
                 )
         return df.select(*cols)
 
@@ -1124,7 +1344,15 @@ def read_iceberg(
         for d in eq_applicable:
             by_cols.setdefault(tuple(d["cols"]), []).append(d["path"])
         for cols, paths in sorted(by_cols.items()):
-            keys = spark.read.parquet(*paths).select(*cols).distinct()
+            # delete files store the equality columns in equality_ids
+            # order under the names current at DELETE time; rename by
+            # position to the presentation names so the anti-join still
+            # matches after a later column rename
+            keys = None
+            for p in sorted(paths):
+                k = spark.read.parquet(p).toDF(*cols)
+                keys = k if keys is None else keys.unionByName(k)
+            keys = keys.distinct()
             part = part.join(
                 F.broadcast(keys), on=list(cols), how="left_anti"
             )

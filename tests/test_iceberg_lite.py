@@ -604,3 +604,200 @@ def test_position_delete_pruned_read(spark, table_loc):
     assert sorted(r["uid"] for r in a.collect()) == [1, 5, 7, 9]
     b = read_iceberg(spark, table_loc, where={"lang": "b"})
     assert sorted(r["uid"] for r in b.collect()) == [0, 2, 6, 8]
+
+
+# ---------------------------------------------------------------------------
+# rename / drop column evolution (metadata-only commits)
+# ---------------------------------------------------------------------------
+
+
+def test_rename_column_resolves_old_and_new_files(spark, table_loc):
+    from splink_spark.sources.iceberg_lite import rename_iceberg_column
+
+    docs = _docs(spark).select("doc_id", "lang", "n_chars")
+    s1 = write_iceberg(
+        docs.filter("doc_id < 40"), table_loc, partition_by=["lang"]
+    )
+    rename_iceberg_column(table_loc, "n_chars", "char_count")
+    # current read: new name, values from files written under the OLD name
+    cur = read_iceberg(spark, table_loc)
+    assert set(cur.columns) == {"doc_id", "lang", "char_count"}
+    assert cur.filter("char_count IS NULL").count() == 0
+    # append AFTER the rename (files carry the new name) — one table,
+    # mixed physical names, resolved by field-id history
+    write_iceberg(
+        docs.filter("doc_id >= 40 AND doc_id < 60").withColumnRenamed(
+            "n_chars", "char_count"
+        ),
+        table_loc,
+        mode="append",
+    )
+    mixed = read_iceberg(spark, table_loc)
+    assert mixed.count() == 60
+    assert mixed.filter("char_count IS NULL").count() == 0
+    want = {
+        r["doc_id"]: r["n_chars"]
+        for r in docs.filter("doc_id < 60").collect()
+    }
+    got = {r["doc_id"]: r["char_count"] for r in mixed.collect()}
+    assert got == want
+    # time travel presents the pre-rename snapshot under ITS schema
+    old = read_iceberg(spark, table_loc, snapshot_id=s1)
+    assert set(old.columns) == {"doc_id", "lang", "n_chars"}
+    # rename is metadata-only: no new snapshot was created by it
+    meta_dir = os.path.join(table_loc, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        v = int(f.read())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as f:
+        meta = json.load(f)
+    assert len(meta["snapshots"]) == 2
+    fid_old = next(
+        f["id"]
+        for f in meta["schemas"][0]["fields"]
+        if f["name"] == "n_chars"
+    )
+    fid_new = next(
+        f["id"]
+        for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+        if f["name"] == "char_count"
+    )
+    assert fid_old == fid_new  # the field id is the identity
+
+
+def test_rename_partition_column_keeps_pruning(spark, table_loc):
+    from splink_spark.sources.iceberg_lite import rename_iceberg_column
+
+    docs = _docs(spark).select("doc_id", "lang")
+    write_iceberg(
+        docs.filter("doc_id < 80"), table_loc, partition_by=["lang"]
+    )
+    rename_iceberg_column(table_loc, "lang", "language")
+    # append post-rename: manifests now keyed by the new name
+    write_iceberg(
+        docs.filter("doc_id >= 80 AND doc_id < 120").withColumnRenamed(
+            "lang", "language"
+        ),
+        table_loc,
+        mode="append",
+    )
+    full = read_iceberg(spark, table_loc)
+    assert set(full.columns) == {"doc_id", "language"}
+    want_en = docs.filter("doc_id < 120 AND lang = 'en'").count()
+    pruned = read_iceberg(spark, table_loc, where={"language": "en"})
+    assert pruned.count() == want_en
+    _, stats = scan_files(table_loc, where={"language": "en"})
+    assert 0 < stats["files_selected"] < stats["files_total"]
+
+
+def test_rename_collision_and_reuse_rejected(spark, table_loc):
+    from pyspark.sql import functions as F
+
+    from splink_spark.sources.iceberg_lite import rename_iceberg_column
+
+    docs = _docs(spark).select("doc_id", "lang", "n_chars")
+    write_iceberg(docs.filter("doc_id < 20"), table_loc)
+    with pytest.raises(ValueError, match="used by another field"):
+        rename_iceberg_column(table_loc, "n_chars", "lang")
+    rename_iceberg_column(table_loc, "n_chars", "char_count")
+    # the old name still belongs to that field's history: re-adding it
+    # as a NEW column would make file resolution ambiguous
+    with pytest.raises(ValueError, match="cannot be reused"):
+        write_iceberg(
+            docs.filter("doc_id >= 20 AND doc_id < 30")
+            .withColumnRenamed("n_chars", "char_count")
+            .withColumn("n_chars", F.lit(0)),
+            table_loc,
+            mode="append",
+        )
+    # renaming back onto its own old name is fine (same field id)
+    rename_iceberg_column(table_loc, "char_count", "n_chars")
+    back = read_iceberg(spark, table_loc)
+    assert "n_chars" in back.columns
+
+
+def test_drop_column_time_travel_and_guards(spark, table_loc):
+    from splink_spark.sources.iceberg_lite import drop_iceberg_column
+
+    docs = _docs(spark).select("doc_id", "lang", "n_chars")
+    s1 = write_iceberg(
+        docs.filter("doc_id < 30"), table_loc, partition_by=["lang"]
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        drop_iceberg_column(table_loc, "lang")
+    drop_iceberg_column(table_loc, "n_chars")
+    cur = read_iceberg(spark, table_loc)
+    assert set(cur.columns) == {"doc_id", "lang"}
+    # time travel: the old snapshot presents the dropped column
+    old = read_iceberg(spark, table_loc, snapshot_id=s1)
+    assert set(old.columns) == {"doc_id", "lang", "n_chars"}
+    # appends after the drop need not carry the dropped column
+    write_iceberg(
+        docs.filter("doc_id >= 30 AND doc_id < 40").drop("n_chars"),
+        table_loc,
+        mode="append",
+    )
+    assert read_iceberg(spark, table_loc).count() == 40
+    # the retired name can never come back
+    with pytest.raises(ValueError, match="cannot be reused"):
+        write_iceberg(
+            docs.filter("doc_id >= 40 AND doc_id < 50"),
+            table_loc,
+            mode="append",
+        )
+
+
+def test_rename_after_equality_delete_still_applies(spark, table_loc):
+    from splink_spark.sources.iceberg_lite import (
+        delete_iceberg,
+        rename_iceberg_column,
+    )
+
+    docs = _docs(spark).select("doc_id", "lang")
+    write_iceberg(docs.filter("doc_id < 50"), table_loc)
+    victims = docs.filter("doc_id IN (3, 7, 11)")
+    delete_iceberg(victims, table_loc, equality_cols=["doc_id"])
+    rename_iceberg_column(table_loc, "doc_id", "page_id")
+    cur = read_iceberg(spark, table_loc)
+    assert set(cur.columns) == {"page_id", "lang"}
+    assert cur.count() == 47
+    assert cur.filter("page_id IN (3, 7, 11)").count() == 0
+
+
+def test_drop_column_with_live_equality_delete_rejected(
+    spark, table_loc
+):
+    from splink_spark.sources.iceberg_lite import (
+        delete_iceberg,
+        drop_iceberg_column,
+    )
+
+    docs = _docs(spark).select("doc_id", "lang")
+    write_iceberg(docs.filter("doc_id < 50"), table_loc)
+    delete_iceberg(
+        docs.filter("doc_id = 5"), table_loc, equality_cols=["doc_id"]
+    )
+    with pytest.raises(ValueError, match="equality-delete"):
+        drop_iceberg_column(table_loc, "doc_id")
+
+
+def test_overwrite_partitions_after_partition_rename(spark, table_loc):
+    from splink_spark.sources.iceberg_lite import rename_iceberg_column
+
+    docs = _docs(spark).select("doc_id", "lang")
+    write_iceberg(
+        docs.filter("doc_id < 100"), table_loc, partition_by=["lang"]
+    )
+    rename_iceberg_column(table_loc, "lang", "language")
+    # overwrite ONE partition post-rename: old manifests (keyed by the
+    # old name) must still match the replaced partition value
+    repl = (
+        docs.filter("doc_id >= 100 AND doc_id < 110 AND lang = 'en'")
+        .withColumnRenamed("lang", "language")
+    )
+    n_repl = repl.count()
+    assert n_repl > 0
+    write_iceberg(repl, table_loc, mode="overwrite_partitions")
+    cur = read_iceberg(spark, table_loc)
+    n_other = docs.filter("doc_id < 100 AND lang <> 'en'").count()
+    assert cur.filter("language = 'en'").count() == n_repl
+    assert cur.filter("language <> 'en'").count() == n_other
