@@ -1128,11 +1128,56 @@ def _scan_plan(
                 f"{c!r} is not a partition column {partition_by}"
             )
 
+    # pruning decisions FIRST (manifest-list field summaries only —
+    # no manifest is opened to decide), then all surviving manifests
+    # are read concurrently: avro inflate + file IO release the GIL,
+    # so planning wall scales with the largest manifest, not the
+    # manifest count. Results are folded back in manifest-list order,
+    # keeping the plan deterministic.
+    to_read: list[tuple[int, dict]] = []
+    for mi, mf in enumerate(manifests):
+        if mf.get("content", 0) == 1:  # DELETE manifest
+            to_read.append((mi, mf))
+            continue
+        skip = False
+        if where and mf["partitions"]:
+            for i, c in enumerate(partition_by):
+                if c not in where:
+                    continue
+                s = mf["partitions"][i]
+                v = str(where[c]).encode()
+                lo, hi = s["lower_bound"], s["upper_bound"]
+                if lo is not None and hi is not None and not (
+                    lo <= v <= hi
+                ):
+                    skip = True
+                    break
+        if skip:
+            continue
+        stats["manifests_scanned"] += 1
+        to_read.append((mi, mf))
+
+    if len(to_read) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(16, len(to_read))
+        ) as pool:
+            entry_lists = list(
+                pool.map(
+                    lambda t: read_avro(t[1]["manifest_path"])[1],
+                    to_read,
+                )
+            )
+    else:
+        entry_lists = [
+            read_avro(mf["manifest_path"])[1] for _, mf in to_read
+        ]
+
     data: list[tuple[str, int]] = []
     deletes: list[dict] = []
-    for mf in manifests:
+    for (_, mf), entries in zip(to_read, entry_lists):
         if mf.get("content", 0) == 1:  # DELETE manifest
-            _, entries = read_avro(mf["manifest_path"])
             for e in entries:
                 if e["status"] == 2:
                     continue
@@ -1151,23 +1196,6 @@ def _scan_plan(
                 stats["delete_files_selected"] += 1
                 stats["delete_rows_selected"] += dfile["record_count"]
             continue
-        skip = False
-        if where and mf["partitions"]:
-            for i, c in enumerate(partition_by):
-                if c not in where:
-                    continue
-                s = mf["partitions"][i]
-                v = str(where[c]).encode()
-                lo, hi = s["lower_bound"], s["upper_bound"]
-                if lo is not None and hi is not None and not (
-                    lo <= v <= hi
-                ):
-                    skip = True
-                    break
-        if skip:
-            continue
-        stats["manifests_scanned"] += 1
-        _, entries = read_avro(mf["manifest_path"])
         for e in entries:
             stats["files_total"] += 1
             if e["status"] == 2:  # DELETED
