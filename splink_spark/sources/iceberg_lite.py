@@ -1027,13 +1027,40 @@ def delete_iceberg_where(
     scan = spark.read.option("mergeSchema", "true").parquet(
         *[p for p, _ in data]
     )
+    # present the CURRENT schema before evaluating the predicate:
+    # files written before a column rename carry the old physical
+    # name, so resolve each field by its name history (as read_iceberg
+    # does) — otherwise the predicate would silently miss their rows
+    hist = _field_name_history(meta)
+    cur_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    proj = [
+        _strip_file_scheme(F.col("_metadata.file_path")).alias(
+            "__file_path"
+        ),
+        F.col("_metadata.row_index").alias("__pos"),
+    ]
+    for fld in cur_fields:
+        cands = [
+            n
+            for n in hist.get(fld["id"], [fld["name"]])
+            if n in scan.columns
+        ]
+        if not cands:
+            proj.append(F.lit(None).alias(fld["name"]))
+        elif len(cands) == 1:
+            proj.append(F.col(cands[0]).alias(fld["name"]))
+        else:
+            proj.append(
+                F.coalesce(*[F.col(n) for n in cands]).alias(
+                    fld["name"]
+                )
+            )
     positions = (
-        scan.filter(predicate)
+        scan.select(*proj)
+        .filter(predicate)
         .select(
-            _strip_file_scheme(F.col("_metadata.file_path")).alias(
-                "file_path"
-            ),
-            F.col("_metadata.row_index").alias("pos"),
+            F.col("__file_path").alias("file_path"),
+            F.col("__pos").alias("pos"),
         )
         .sort("file_path", "pos")
     )

@@ -801,3 +801,22 @@ def test_overwrite_partitions_after_partition_rename(spark, table_loc):
     n_other = docs.filter("doc_id < 100 AND lang <> 'en'").count()
     assert cur.filter("language = 'en'").count() == n_repl
     assert cur.filter("language <> 'en'").count() == n_other
+
+
+def test_position_delete_after_rename_hits_old_files(spark, table_loc):
+    from splink_spark.sources.iceberg_lite import (
+        delete_iceberg_where,
+        rename_iceberg_column,
+    )
+
+    docs = _docs(spark).select("doc_id", "lang", "n_chars")
+    write_iceberg(docs.filter("doc_id < 40"), table_loc)
+    rename_iceberg_column(table_loc, "n_chars", "char_count")
+    # predicate uses the CURRENT name; the only data files on disk
+    # carry the OLD physical name — the delete must still hit them
+    victims = docs.filter("doc_id < 40 AND n_chars > 500").count()
+    assert victims > 0
+    delete_iceberg_where(spark, table_loc, "char_count > 500")
+    cur = read_iceberg(spark, table_loc)
+    assert cur.count() == 40 - victims
+    assert cur.filter("char_count > 500").count() == 0
