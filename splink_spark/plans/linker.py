@@ -163,6 +163,38 @@ class Linker:
             threshold_match_weight=threshold_match_weight,
         )
 
+    def tune_blocking_rules(
+        self,
+        target_block_pairs: int = 5_000_000,
+        **kwargs,
+    ) -> list[dict]:
+        """Auto-tune the skew governor over the settings' blocking
+        rules: census each rule's equi-key blocks on the concatenated
+        input (both datasets in link mode — the frame the prediction
+        self-join actually runs over), switch on
+        ``broadcast_hot_keys_above`` where a block's pair count would
+        exceed ``target_block_pairs``, and fall back to salting when
+        the hot side would not broadcast safely (row AND byte budgets).
+        Updates ``settings.blocking_rules`` in place and returns the
+        per-rule census report. One aggregation pass per rule; only
+        scalar stats reach the driver.
+
+        reference: n/a (skew governance is a north-rule addition; see
+        operators/blocking.py::tune_blocking_rules).
+        """
+        from splink_spark.operators.blocking import (
+            tune_blocking_rules as _tune,
+        )
+
+        tuned, report = _tune(
+            self.concat_with_tf(),
+            self.settings.blocking_rules,
+            target_block_pairs=target_block_pairs,
+            **kwargs,
+        )
+        self.settings.blocking_rules = tuned
+        return report
+
     def deterministic_link(
         self, rules: list[BlockingRule | str] | None = None
     ) -> DataFrame:
