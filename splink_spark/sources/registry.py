@@ -127,6 +127,47 @@ class TableRegistry:
             os.path.join(self.base, f"{name}.parquet")
         )
 
+    def rename_column(self, name: str, old: str, new: str) -> None:
+        """Schema evolution: rename a column (metadata-only commit).
+        ``iceberg``: ALTER TABLE through the catalog. ``iceberg_lite``:
+        field-id rename with name-history file resolution. ``parquet``
+        has no table metadata to evolve — rewrite the table instead."""
+        if self.fmt == "iceberg":
+            self.spark.sql(
+                f"ALTER TABLE {self.base}.{name} "
+                f"RENAME COLUMN {old} TO {new}"
+            )
+            return
+        if self.fmt == "iceberg_lite":
+            from .iceberg_lite import rename_iceberg_column
+
+            rename_iceberg_column(
+                os.path.join(self.base, name), old, new
+            )
+            return
+        raise ValueError(
+            "parquet tables have no evolvable schema metadata; "
+            "rewrite the table with the renamed column instead"
+        )
+
+    def drop_column(self, name: str, column: str) -> None:
+        """Schema evolution: drop a column (metadata-only commit).
+        Same format support as ``rename_column``."""
+        if self.fmt == "iceberg":
+            self.spark.sql(
+                f"ALTER TABLE {self.base}.{name} DROP COLUMN {column}"
+            )
+            return
+        if self.fmt == "iceberg_lite":
+            from .iceberg_lite import drop_iceberg_column
+
+            drop_iceberg_column(os.path.join(self.base, name), column)
+            return
+        raise ValueError(
+            "parquet tables have no evolvable schema metadata; "
+            "rewrite the table without the column instead"
+        )
+
     def read_all(self) -> dict[str, DataFrame]:
         return {t: self.read(t) for t in TABLES}
 

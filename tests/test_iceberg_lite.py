@@ -820,3 +820,20 @@ def test_position_delete_after_rename_hits_old_files(spark, table_loc):
     cur = read_iceberg(spark, table_loc)
     assert cur.count() == 40 - victims
     assert cur.filter("char_count > 500").count() == 0
+
+
+def test_registry_schema_evolution_surface(spark, tmp_path):
+    from splink_spark.sources.registry import TableRegistry
+
+    reg = TableRegistry(
+        spark, str(tmp_path / "tables"), fmt="iceberg_lite"
+    )
+    reg.write(_docs(spark).select("doc_id", "lang").limit(25), "docs")
+    reg.rename_column("docs", "lang", "language")
+    assert set(reg.read("docs").columns) == {"doc_id", "language"}
+    reg.drop_column("docs", "language")
+    assert reg.read("docs").columns == ["doc_id"]
+    # parquet registries reject evolution loudly
+    preg = TableRegistry(spark, str(tmp_path / "pq"), fmt="parquet")
+    with pytest.raises(ValueError, match="rewrite the table"):
+        preg.rename_column("docs", "a", "b")
