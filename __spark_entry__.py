@@ -1269,6 +1269,26 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction over the events stream — the SURVEY
+    §2.3 string/json-functions row: `get_json_object` (JVM-native
+    JsonPath, whole-stage codegen — no Python) pulls the typed `k`
+    property out of the props JSON string; DuckDB replays it with its
+    own JSON engine (`->>` extraction), so the oracle cross-checks the
+    two JSON parsers' semantics. One partial+final hash aggregation.
+    reference: n/a (reference stores no JSON; this covers the checklist
+    category on the events table)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.sum(F.when(k % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_even"),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     scores = langid_scores("text")
@@ -1856,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_lsh": q_sim_lsh_topk,
         "sim_topk_ivf": q_sim_ivf_topk,
         "events_sessions": q_events_sessions,
+        "events_json_props": q_events_json_props,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "webtext_extract": q_webtext_extract,
@@ -2726,6 +2747,18 @@ def oracle_sql() -> dict[str, str]:
                    max(CAST(regexp_extract(props, '[0-9]+', 0)
                             AS INTEGER)) AS max_k
             FROM s GROUP BY user_id, session_idx
+        """,
+        # DuckDB's own JSON engine replays the extraction — a
+        # cross-check of two independent JSON parsers' semantics
+        "events_json_props": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(props->>'$.k' AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   CAST(sum(CASE WHEN CAST(props->>'$.k' AS BIGINT)
+                                      % 2 = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_even
+            FROM events GROUP BY event_type
         """,
         "text_stats": (
             f"SELECT {DOC_UID}, {token_count_sql('text')} AS n_tokens, "
