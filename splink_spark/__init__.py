@@ -27,6 +27,7 @@ from splink_spark.model import (
     Comparison,
     ComparisonLevel,
     Settings,
+    block_on,
 )
 from splink_spark.plans.linker import Linker
 
@@ -38,4 +39,5 @@ __all__ = [
     "ComparisonLevel",
     "Settings",
     "Linker",
+    "block_on",
 ]

@@ -241,6 +241,79 @@ class BlockingRule:
         return cls(**d)
 
 
+def block_on(
+    *cols: str,
+    salting_partitions: int = 1,
+    broadcast_hot_keys_above: int = 0,
+) -> BlockingRule:
+    """The reference's primary blocking-rule constructor: each argument
+    is a column name or a SQL expression evaluated on both sides, and
+    the rule is the AND of their l/r equalities —
+    ``block_on("first_name", "substr(surname, 1, 2)")`` →
+    ``l.first_name = r.first_name AND
+    substr(l.surname, 1, 2) = substr(r.surname, 1, 2)``.
+
+    Bare column names get the ``l.``/``r.`` alias; expressions have
+    every column reference aliased by the same rewrite the blocking
+    compiler applies, so the produced rule's equi keys are always
+    extractable (governable + salting-compatible).
+
+    reference: splink/blocking_rule_library.py::block_on.
+    """
+    if not cols:
+        raise ValueError("block_on needs at least one column/expression")
+    import re
+
+    _KEYWORDS = {
+        "and", "or", "not", "case", "when", "then", "else", "end",
+        "null", "is", "in", "between", "like", "cast", "as", "true",
+        "false", "distinct", "interval",
+    }
+
+    def _alias(expr: str, side: str) -> str:
+        expr = expr.strip()
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", expr):
+            return f"{side}.{expr}"
+        # alias bare identifiers inside the expression (not already
+        # qualified, not function names, not quoted literals)
+        out, i, n = [], 0, len(expr)
+        while i < n:
+            ch = expr[i]
+            if ch == "'":  # skip string literal
+                j = i + 1
+                while j < n and expr[j] != "'":
+                    j += 1
+                out.append(expr[i : j + 1])
+                i = j + 1
+                continue
+            m = re.match(r"[A-Za-z_][A-Za-z0-9_]*", expr[i:])
+            if m:
+                tok = m.group(0)
+                j = i + len(tok)
+                rest = expr[j:].lstrip()
+                prev = expr[:i].rstrip()
+                if rest.startswith("("):  # function call
+                    out.append(tok)
+                elif prev.endswith("."):  # already qualified
+                    out.append(tok)
+                elif tok.lower() in _KEYWORDS:
+                    out.append(tok)
+                else:
+                    out.append(f"{side}.{tok}")
+                i = j
+                continue
+            out.append(ch)
+            i += 1
+        return "".join(out)
+
+    conjuncts = [f"{_alias(c, 'l')} = {_alias(c, 'r')}" for c in cols]
+    return BlockingRule(
+        rule=" AND ".join(conjuncts),
+        salting_partitions=salting_partitions,
+        broadcast_hot_keys_above=broadcast_hot_keys_above,
+    )
+
+
 def prior_to_match_weight(prior: float) -> float:
     """log2 prior odds. reference: splink/predict.py (bf_prior term)."""
     if not 0.0 < prior < 1.0:
