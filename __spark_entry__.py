@@ -1668,6 +1668,61 @@ def q_iceberg_lite_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_iceberg_lite_transforms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition transforms (Iceberg v2 Partition Transforms): the
+    events table is committed day(ts)-partitioned and bucket(4,
+    event_id)-partitioned into two lite tables; the surface reads one
+    calendar day through transform pruning (where on the SOURCE
+    column) and one bucket through the stable field name, aggregating
+    counts + id sums per state. DuckDB replays the day arithmetic with
+    date_format and the bucket hash with its own md5 — so a wrong
+    transform derivation, a python/Spark hash replica mismatch, or
+    over/under-pruning breaks the match. reference: n/a (storage layer
+    is a north-rule addition)."""
+    import shutil
+    import tempfile
+
+    from splink_spark.sources.iceberg_lite import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"splink_spark_iceberg_tr_{abs(hash(sf_dir)) % 10**8}",
+    )
+    loc_day = base + "_day"
+    loc_bkt = base + "_bkt"
+    shutil.rmtree(loc_day, ignore_errors=True)
+    shutil.rmtree(loc_bkt, ignore_errors=True)
+    sub = ev.filter(F.col("event_id") < 2000)
+    write_iceberg(sub, loc_day, partition_by=["day(ts)"])
+    write_iceberg(sub, loc_bkt, partition_by=["bucket(4, event_id)"])
+
+    def state(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("state"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("long").alias("sum_ids"),
+        )
+
+    day = "2024-01-01"
+    out = state(
+        "day_pruned", read_iceberg(spark, loc_day, where={"ts": day})
+    )
+    out = out.unionByName(
+        state(
+            "bucket_0",
+            read_iceberg(spark, loc_bkt, where={"event_id_bucket": 0}),
+        )
+    )
+    out = out.unionByName(state("full", read_iceberg(spark, loc_day)))
+    return out
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode loop (fake=False end to end): deterministic
     BMP, PNG and GIF payloads are synthesized per document — PNGs with
@@ -1886,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_lite_scan": q_iceberg_lite_scan,
         "iceberg_lite_deletes": q_iceberg_lite_deletes,
         "iceberg_lite_evolution": q_iceberg_lite_evolution,
+        "iceberg_lite_transforms": q_iceberg_lite_transforms,
     }
 
 
@@ -2596,6 +2652,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(uid) AS BIGINT) AS sum_ids,
                    CAST(sum(nc) AS BIGINT) AS sum_chars
             FROM states GROUP BY snap
+        """,
+        # partition-transform replay: DuckDB recomputes the day slice
+        # with date arithmetic and the bucket with its own md5, so the
+        # two engines' transform derivations must agree exactly
+        "iceberg_lite_transforms": """
+            WITH e AS (
+                SELECT event_id, ts FROM events WHERE event_id < 2000),
+            states AS (
+                SELECT 'day_pruned' AS state, event_id FROM e
+                WHERE strftime(ts, '%Y-%m-%d') = '2024-01-01'
+                UNION ALL
+                SELECT 'bucket_0', event_id FROM e
+                WHERE (('0x' || substr(
+                        md5(CAST(event_id AS VARCHAR)), 1, 15
+                       ))::BIGINT) % 4 = 0
+                UNION ALL
+                SELECT 'full', event_id FROM e
+            )
+            SELECT state,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(event_id) AS BIGINT) AS sum_ids
+            FROM states GROUP BY state
         """,
         # the pixel-value formulas replayed relationally: unnest(range)
         # builds the (x, y) grid per image; the Spark side must recover

@@ -59,8 +59,19 @@ What this implements (spec sections in parentheses):
   name can never move between field ids (real Iceberg resolves by
   parquet field-id metadata; lite files carry only names).
 
-Not implemented (documented scope): non-identity transforms, column
-retypes, format v3.
+- partition transforms (Spec: Partition Transforms): besides identity,
+  ``year/month/day/hour(col)``, ``bucket(N, col)`` and
+  ``truncate(W, col)`` — the derived value drives directory layout,
+  manifest partition structs and pruning; source rows are written
+  unchanged. A ``where`` filter may name the partition field (value
+  already transformed) or the SOURCE column (the transform is applied
+  driver-side, e.g. ``where={"warc_ts": "2024-01-15"}`` prunes a
+  ``day(warc_ts)`` layout). One documented deviation: bucket[N] hashes
+  md5-of-string-cast, not murmur3_x86_32 of the serialized value —
+  lite tables plan their own scans, so the hash needs determinism and
+  driver replicability, not binary interop with other writers.
+
+Not implemented (documented scope): column retypes, format v3.
 Write path materialises one partition directory per distinct value
 via a filtered Spark write — fine for the fixture scales this
 sandbox tests; a production writer would single-pass ``partitionBy``
@@ -113,6 +124,154 @@ def _iceberg_schema(df: DataFrame) -> dict:
             }
         )
     return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+import re as _re
+
+
+def _parse_partition_spec(s) -> dict:
+    """Parse one ``partition_by`` entry into a spec dict
+    {name, transform, source[, param]}.
+
+    Accepted forms (Spec: Partition Transforms): a bare column name
+    (identity), ``year(col)`` / ``month(col)`` / ``day(col)`` /
+    ``hour(col)`` (temporal), ``bucket(N, col)`` and
+    ``truncate(W, col)``. Partition field names follow the reference
+    implementation's convention: ``col_day``, ``col_bucket``,
+    ``col_trunc``."""
+    if isinstance(s, dict):
+        return s
+    s = s.strip()
+    m = _re.fullmatch(r"(year|month|day|hour)\s*\(\s*(\w+)\s*\)", s)
+    if m:
+        t, col = m.group(1), m.group(2)
+        return {"name": f"{col}_{t}", "transform": t, "source": col}
+    m = _re.fullmatch(
+        r"(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)", s
+    )
+    if m:
+        t, param, col = m.group(1), int(m.group(2)), m.group(3)
+        suffix = "bucket" if t == "bucket" else "trunc"
+        return {
+            "name": f"{col}_{suffix}",
+            "transform": f"{t}[{param}]",
+            "source": col,
+            "param": param,
+        }
+    if not _re.fullmatch(r"\w+", s):
+        raise ValueError(f"unsupported partition transform spec {s!r}")
+    return {"name": s, "transform": "identity", "source": s}
+
+
+def _normalize_part_specs(meta: dict) -> list[dict]:
+    """Spec dicts for the table's partition fields; tables written
+    before transform support carry only the name list (all identity)."""
+    specs = meta.get("_iceberg_lite_partition_specs")
+    if specs is not None:
+        return specs
+    return [
+        {"name": c, "transform": "identity", "source": c}
+        for c in meta["_iceberg_lite_partition_by"]
+    ]
+
+
+def _part_transform_col(spec: dict, F):
+    """Spark Column computing the transform's partition value as a
+    STRING (lite manifests carry partition values as strings).
+    NOTE one documented deviation from the Iceberg spec: bucket[N]
+    hashes md5-of-string-cast rather than murmur3_x86_32 of the
+    serialized value — lite tables plan their own scans, so the hash
+    only needs to be deterministic and driver-replicable, not
+    binary-interoperable with other Iceberg writers."""
+    c = F.col(spec["source"])
+    t = spec["transform"]
+    if t == "identity":
+        return c.cast("string")
+    if t == "year":
+        return F.date_format(c, "yyyy")
+    if t == "month":
+        return F.date_format(c, "yyyy-MM")
+    if t == "day":
+        return F.date_format(c, "yyyy-MM-dd")
+    if t == "hour":
+        return F.date_format(c, "yyyy-MM-dd-HH")
+    if t.startswith("bucket["):
+        n = spec["param"]
+        h = F.conv(
+            F.substring(F.md5(c.cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        return F.when(
+            c.isNull(), F.lit(None).cast("string")
+        ).otherwise(F.pmod(h, F.lit(n)).cast("string"))
+    if t.startswith("truncate["):
+        w = spec["param"]
+        # string → prefix; integral → floor-to-width (Spec semantics)
+        return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+            F.substring(c, 1, w)
+            if not spec.get("_numeric")
+            else (F.floor(c / w) * w).cast("long").cast("string")
+        )
+    raise ValueError(f"unknown partition transform {t!r}")
+
+
+def _apply_part_transform(spec: dict, value) -> str | None:
+    """Driver-side Python replica of ``_part_transform_col`` so a
+    ``where`` filter on the SOURCE column prunes transformed
+    partitions. Temporal transforms accept either the source value or
+    an already-transformed prefix string."""
+    if value is None:
+        return None
+    t = spec["transform"]
+    s = str(value)
+    if t == "identity":
+        return s
+    if t == "year":
+        return s[:4]
+    if t == "month":
+        return s[:7]
+    if t == "day":
+        return s[:10]
+    if t == "hour":
+        return s[:13].replace(" ", "-")
+    if t.startswith("bucket["):
+        import hashlib
+
+        h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        return str(h % spec["param"])
+    if t.startswith("truncate["):
+        w = spec["param"]
+        if spec.get("_numeric"):
+            return str((int(value) // w) * w)
+        return s[:w]
+    raise ValueError(f"unknown partition transform {t!r}")
+
+
+def _translate_where(meta: dict, where: dict) -> dict:
+    """Resolve a ``where`` equality filter to partition-field-name →
+    transformed-string-value. Keys may be partition field names
+    (value already transformed) or SOURCE column names (the transform
+    is applied driver-side)."""
+    specs = _normalize_part_specs(meta)
+    by_name = {sp["name"]: sp for sp in specs}
+    by_source = {sp["source"]: sp for sp in specs}
+    out = {}
+    for k, v in where.items():
+        if k in by_name:
+            sp = by_name[k]
+            out[sp["name"]] = (
+                str(v)
+                if sp["transform"] != "identity"
+                else _apply_part_transform(sp, v)
+            )
+        elif k in by_source:
+            sp = by_source[k]
+            out[sp["name"]] = _apply_part_transform(sp, v)
+        else:
+            raise ValueError(
+                f"{k!r} is not a partition column or transform source "
+                f"(fields {sorted(by_name)}, sources {sorted(by_source)})"
+            )
+    return out
 
 
 def _field_name_history(meta: dict) -> dict[int, list[str]]:
@@ -367,6 +526,19 @@ def write_iceberg(
     partition_by = partition_by or []
     spark = df.sparkSession
     if mode == "create":
+        part_specs = [_parse_partition_spec(s) for s in partition_by]
+        src_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for sp in part_specs:
+            if sp["source"] not in src_types:
+                raise ValueError(
+                    f"partition source column {sp['source']!r} not in "
+                    f"frame columns {sorted(src_types)}"
+                )
+            if sp["transform"].startswith("truncate[") and src_types[
+                sp["source"]
+            ] in ("bigint", "int", "long", "integer"):
+                sp["_numeric"] = True
+        partition_by = [sp["name"] for sp in part_specs]
         meta = {
             "format-version": 2,
             "table-uuid": str(
@@ -384,15 +556,15 @@ def write_iceberg(
                     "spec-id": 0,
                     "fields": [
                         {
-                            "name": c,
-                            "transform": "identity",
+                            "name": sp["name"],
+                            "transform": sp["transform"],
                             "source-id": [
                                 f.name for f in df.schema.fields
-                            ].index(c)
+                            ].index(sp["source"])
                             + 1,
                             "field-id": 1000 + i,
                         }
-                        for i, c in enumerate(partition_by)
+                        for i, sp in enumerate(part_specs)
                     ],
                 }
             ],
@@ -407,6 +579,7 @@ def write_iceberg(
             "snapshot-log": [],
             "metadata-log": [],
             "_iceberg_lite_partition_by": partition_by,
+            "_iceberg_lite_partition_specs": part_specs,
         }
         version = 0
         seq = 1
@@ -414,6 +587,7 @@ def write_iceberg(
     elif mode in ("append", "overwrite_partitions"):
         meta = _load_metadata(location)
         partition_by = meta["_iceberg_lite_partition_by"]
+        part_specs = _normalize_part_specs(meta)
         hint = os.path.join(
             location, "metadata", "version-hint.text"
         )
@@ -474,19 +648,55 @@ def write_iceberg(
     # parquet writers also materialise them)
     data_dir = os.path.join(location, "data")
     entries = []
-    if partition_by:
+    all_identity = all(
+        sp["transform"] == "identity" for sp in part_specs
+    )
+    if partition_by and all_identity:
         values = [
             tuple(r)
             for r in df.select(*partition_by).distinct().collect()
         ]
+    elif partition_by:
+        # non-identity transforms: derive the partition value columns
+        # (Spec: Partition Transforms), group by the DERIVED values,
+        # and write source rows (transformed values live only in the
+        # directory layout + manifests, not in the files)
+        from pyspark.sql import functions as F
+
+        tmp = {
+            sp["name"]: f"__part_{sp['name']}" for sp in part_specs
+        }
+        dfp = df
+        for sp in part_specs:
+            dfp = dfp.withColumn(
+                tmp[sp["name"]], _part_transform_col(sp, F)
+            )
+        values = [
+            tuple(r)
+            for r in dfp.select(
+                *[tmp[c] for c in partition_by]
+            ).distinct().collect()
+        ]
+    if partition_by:
         for vals in sorted(values, key=lambda t: tuple(map(str, t))):
-            sub = df
-            for c, v in zip(partition_by, vals):
-                sub = sub.filter(
-                    sub[c].isNull()
-                    if v is None
-                    else sub[c] == v
-                )
+            if all_identity:
+                sub = df
+                for c, v in zip(partition_by, vals):
+                    sub = sub.filter(
+                        sub[c].isNull()
+                        if v is None
+                        else sub[c] == v
+                    )
+            else:
+                sub = dfp
+                for c, v in zip(partition_by, vals):
+                    tc = tmp[c]
+                    sub = sub.filter(
+                        sub[tc].isNull()
+                        if v is None
+                        else sub[tc] == v
+                    )
+                sub = sub.drop(*tmp.values())
             dirname = "/".join(
                 f"{c}={'null' if v is None else v}"
                 for c, v in zip(partition_by, vals)
@@ -745,14 +955,27 @@ def rename_iceberg_column(location: str, old: str, new: str) -> None:
         }
     )
     meta["current-schema-id"] = len(meta["schemas"]) - 1
-    part_by = meta["_iceberg_lite_partition_by"]
-    if old in part_by:
+    part_specs = _normalize_part_specs(meta)
+    if any(sp["source"] == old for sp in part_specs):
+        for sp in part_specs:
+            if sp["source"] != old:
+                continue
+            sp["source"] = new
+            if sp["transform"] == "identity":
+                # identity fields are named after the column; renaming
+                # the column renames the field. Transformed fields keep
+                # their stable derived name (warc_ts_day etc.).
+                sp["name"] = new
+        meta["_iceberg_lite_partition_specs"] = part_specs
         meta["_iceberg_lite_partition_by"] = [
-            new if c == old else c for c in part_by
+            sp["name"] for sp in part_specs
         ]
         for spec in meta["partition-specs"]:
             for pf in spec["fields"]:
-                if pf["source-id"] == field["id"]:
+                if (
+                    pf["source-id"] == field["id"]
+                    and pf["transform"] == "identity"
+                ):
                     pf["name"] = new
     meta["last-updated-ms"] = int(time.time() * 1000)
     _write_metadata(location, meta, version + 1)
@@ -778,7 +1001,10 @@ def drop_iceberg_column(location: str, name: str) -> None:
             f"no column {name!r} in current schema "
             f"{[f['name'] for f in cur['fields']]}"
         )
-    if name in meta["_iceberg_lite_partition_by"]:
+    if any(
+        name in (sp["name"], sp["source"])
+        for sp in _normalize_part_specs(meta)
+    ):
         raise ValueError(f"cannot drop partition column {name!r}")
     snap = next(
         (
@@ -1148,12 +1374,9 @@ def _scan_plan(
         "delete_files_selected": 0,
         "delete_rows_selected": 0,
     }
-    where = where or {}
-    for c in where:
-        if c not in partition_by:
-            raise ValueError(
-                f"{c!r} is not a partition column {partition_by}"
-            )
+    # resolve where keys (partition field names or SOURCE columns of
+    # transformed fields) to field-name → transformed string value
+    where = _translate_where(meta, where) if where else {}
 
     # pruning decisions FIRST (manifest-list field summaries only —
     # no manifest is opened to decide), then all surviving manifests

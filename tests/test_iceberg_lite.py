@@ -837,3 +837,139 @@ def test_registry_schema_evolution_surface(spark, tmp_path):
     preg = TableRegistry(spark, str(tmp_path / "pq"), fmt="parquet")
     with pytest.raises(ValueError, match="rewrite the table"):
         preg.rename_column("docs", "a", "b")
+
+
+# ---------------------------------------------------------------------------
+# partition transforms (day / bucket / truncate)
+# ---------------------------------------------------------------------------
+
+
+def test_day_transform_partitioning_and_pruning(spark, tmp_path):
+    loc = str(tmp_path / "events_by_day")
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).filter("event_id < 400")
+    write_iceberg(ev, loc, partition_by=["day(ts)"])
+    # layout: one directory per calendar day, field named ts_day
+    files, stats = scan_files(loc)
+    assert all("/ts_day=" in f for f in files)
+    assert stats["rows_selected"] == 400
+    # prune by SOURCE column value (driver-side transform)...
+    want_day = "2024-01-01"
+    want = ev.filter(f"date_format(ts, 'yyyy-MM-dd') = '{want_day}'")
+    pruned = read_iceberg(spark, loc, where={"ts": want_day})
+    assert pruned.count() == want.count() > 0
+    # ...and by partition field name with the transformed value
+    pruned2 = read_iceberg(spark, loc, where={"ts_day": want_day})
+    assert pruned2.count() == want.count()
+    _, st = scan_files(loc, where={"ts": want_day})
+    assert 0 < st["files_selected"] < st["files_total"]
+    # source rows come back unchanged (no derived column in files)
+    assert set(pruned.columns) == set(ev.columns)
+
+
+def test_bucket_transform_prunes_and_replays_in_python(spark, tmp_path):
+    loc = str(tmp_path / "docs_by_bucket")
+    docs = _docs(spark).filter("doc_id < 200")
+    write_iceberg(docs, loc, partition_by=["bucket(4, doc_id)"])
+    full = read_iceberg(spark, loc)
+    assert full.count() == 200
+    # the python replica must agree with the Spark-side bucket exactly:
+    # a where on the source value selects precisely that row's bucket
+    got = read_iceberg(spark, loc, where={"doc_id": 7})
+    assert got.filter("doc_id = 7").count() == 1
+    _, st = scan_files(loc, where={"doc_id": 7})
+    assert 0 < st["files_selected"] < st["files_total"]
+    # all four buckets materialised
+    files, _ = scan_files(loc)
+    buckets = {f.split("doc_id_bucket=")[1].split("/")[0] for f in files}
+    assert buckets == {"0", "1", "2", "3"}
+
+
+def test_truncate_transform_string_and_append(spark, tmp_path):
+    loc = str(tmp_path / "docs_by_trunc")
+    docs = _docs(spark).filter("doc_id < 120").select(
+        "doc_id", "lang", "source"
+    )
+    write_iceberg(docs, loc, partition_by=["truncate(2, source)"])
+    write_iceberg(
+        _docs(spark)
+        .filter("doc_id >= 120 AND doc_id < 160")
+        .select("doc_id", "lang", "source"),
+        loc,
+        mode="append",
+    )
+    full = read_iceberg(spark, loc)
+    assert full.count() == 160
+    sample = docs.select("source").first()[0]
+    prefix = sample[:2]
+    want = (
+        _docs(spark)
+        .filter("doc_id < 160")
+        .filter(f"substring(source, 1, 2) = '{prefix}'")
+        .count()
+    )
+    got = read_iceberg(spark, loc, where={"source": sample})
+    assert got.count() == want
+    got2 = read_iceberg(spark, loc, where={"source_trunc": prefix})
+    assert got2.count() == want
+
+
+def test_transform_partition_overwrite_and_time_travel(spark, tmp_path):
+    loc = str(tmp_path / "events_ow")
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).filter("event_id < 300")
+    s1 = write_iceberg(ev, loc, partition_by=["day(ts)"])
+    day = "2024-01-01"
+    n_day = ev.filter(
+        f"date_format(ts, 'yyyy-MM-dd') = '{day}'"
+    ).count()
+    n_other = 300 - n_day
+    repl = ev.filter(f"date_format(ts, 'yyyy-MM-dd') = '{day}'").limit(5)
+    write_iceberg(repl, loc, mode="overwrite_partitions")
+    cur = read_iceberg(spark, loc)
+    assert cur.count() == n_other + 5
+    assert read_iceberg(spark, loc, where={"ts": day}).count() == 5
+    old = read_iceberg(spark, loc, snapshot_id=s1)
+    assert old.count() == 300
+    # source column of a transform cannot be dropped
+    from splink_spark.sources.iceberg_lite import drop_iceberg_column
+
+    with pytest.raises(ValueError, match="partition column"):
+        drop_iceberg_column(loc, "ts")
+
+
+def test_transform_source_rename_keeps_field_and_pruning(
+    spark, tmp_path
+):
+    from splink_spark.sources.iceberg_lite import rename_iceberg_column
+
+    loc = str(tmp_path / "events_rn")
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).filter("event_id < 200")
+    write_iceberg(ev, loc, partition_by=["day(ts)"])
+    rename_iceberg_column(loc, "ts", "event_ts")
+    day = "2024-01-01"
+    want = ev.filter(
+        f"date_format(ts, 'yyyy-MM-dd') = '{day}'"
+    ).count()
+    # the stable field name still prunes, and so does the NEW source name
+    assert (
+        read_iceberg(spark, loc, where={"ts_day": day}).count() == want
+    )
+    assert (
+        read_iceberg(spark, loc, where={"event_ts": day}).count()
+        == want
+    )
+    cur = read_iceberg(spark, loc)
+    assert "event_ts" in cur.columns and "ts" not in cur.columns
+    # appends after the rename land in the same day directories
+    more = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).filter("event_id >= 200 AND event_id < 240").withColumnRenamed(
+        "ts", "event_ts"
+    )
+    write_iceberg(more, loc, mode="append")
+    assert read_iceberg(spark, loc).count() == 240
