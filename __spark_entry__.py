@@ -36,6 +36,11 @@ from splink_spark.model import BlockingRule, Comparison, ComparisonLevel, Settin
 from splink_spark.operators.blocking import block_census, block_using_rules
 from splink_spark.operators.cluster import connected_components
 from splink_spark.operators.concat import vertically_concatenate
+from splink_spark.operators.curation import (
+    bloom_incremental_new,
+    pack_token_shards,
+    stratified_sample,
+)
 from splink_spark.operators.dedup import (
     exact_duplicates,
     minhash_near_duplicates,
@@ -1313,6 +1318,50 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sample — runs the SCALE path
+    (census prefilter + shortfall fallback) whose output is contractually
+    identical to the plain top-N window the oracle replays."""
+    out = stratified_sample(
+        _docs(spark, sf_dir),
+        "lang",
+        30,
+        id_col=DOC_UID,
+        seed=7,
+        prefilter_oversample=8.0,
+    )
+    return out.select(
+        DOC_UID, "lang", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+def q_curate_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing via the two-phase distributed prefix
+    sum (ordered md5-prefix buckets + broadcast bucket offsets); the
+    oracle replays the semantics as ONE global window."""
+    return pack_token_shards(
+        _docs(spark, sf_dir), budget_tokens=5000, id_col=DOC_UID
+    )
+
+
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental-ingest screen: the filter is a distinct
+    position DataFrame (≤ 16^4 rows, broadcast), probes are k
+    equi-join hits per incoming doc. Planted copies (base docs re-sent
+    under new ids) MUST come back maybe_duplicate — no false
+    negatives; the deterministic md5 positions replay exactly in
+    DuckDB."""
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col(DOC_UID) % 3 != 0)
+    copies = base.filter(F.col(DOC_UID) % 9 == 1).withColumn(
+        DOC_UID, F.col(DOC_UID) + F.lit(500000)
+    )
+    incoming = docs.filter(F.col(DOC_UID) % 3 == 0).unionByName(copies)
+    return bloom_incremental_new(
+        base, incoming, id_col=DOC_UID, k=4, prefix_hex=4
+    )
+
+
 def q_webtext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule per-row invariant as a driver row: wrap each document
     in the Common-Crawl-style html container (binary), run the REAL
@@ -1934,6 +1983,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": q_events_json_props,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
+        "curate_stratified_sample": q_curate_stratified,
+        "curate_pack_shards": q_curate_pack_shards,
+        "dedup_bloom_incremental": q_dedup_bloom,
         "webtext_extract": q_webtext_extract,
         "multimodal_features": q_multimodal,
         "multimodal_meta": q_multimodal_meta,
@@ -2854,7 +2906,64 @@ def oracle_sql() -> dict[str, str]:
             f"FROM documents"
         ),
         "webtext_extract": _webtext_extract_sql(),
+        "curate_stratified_sample": (
+            f"SELECT {DOC_UID}, lang, sample_rank FROM ("
+            f"SELECT {DOC_UID}, lang, CAST(ROW_NUMBER() OVER ("
+            f"PARTITION BY lang ORDER BY "
+            f"md5(CAST({DOC_UID} AS VARCHAR) || ':7'), {DOC_UID}"
+            f") AS BIGINT) AS sample_rank FROM documents"
+            f") WHERE sample_rank <= 30"
+        ),
+        "curate_pack_shards": (
+            f"WITH t AS (SELECT {DOC_UID}, "
+            f"CAST(coalesce({token_count_sql('text')}, 0) AS BIGINT) "
+            f"AS n_tokens, md5(CAST({DOC_UID} AS VARCHAR)) AS k "
+            f"FROM documents) "
+            f"SELECT {DOC_UID}, n_tokens, "
+            f"CAST(ROW_NUMBER() OVER (ORDER BY k, {DOC_UID}) AS BIGINT) "
+            f"AS pack_pos, "
+            f"CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY k, {DOC_UID} "
+            f"ROWS UNBOUNDED PRECEDING) - n_tokens) / 5000) AS BIGINT) "
+            f"AS shard_id FROM t"
+        ),
+        "dedup_bloom_incremental": _bloom_incremental_sql(),
     }
+
+
+def _bloom_incremental_sql() -> str:
+    """DuckDB replay of q_dedup_bloom: same md5 fingerprints, same k=4
+    position strings (first 4 hex chars of md5(fp || ':i')), same
+    distinct-position build + probe joins."""
+    fp = doc_fingerprint_sql("text")
+    return f"""
+        WITH base AS (
+            SELECT {DOC_UID}, {fp} AS fingerprint
+            FROM documents WHERE {DOC_UID} % 3 <> 0
+        ), incoming AS (
+            SELECT {DOC_UID}, {fp} AS fingerprint
+            FROM documents WHERE {DOC_UID} % 3 = 0
+            UNION ALL
+            SELECT b.{DOC_UID} + 500000 AS {DOC_UID}, b.fingerprint
+            FROM base b WHERE b.{DOC_UID} % 9 = 1
+        ), ks AS (
+            SELECT * FROM (VALUES (1), (2), (3), (4)) t(i)
+        ), bpos AS (
+            SELECT DISTINCT substr(
+                md5(fingerprint || ':' || CAST(i AS VARCHAR)), 1, 4
+            ) AS pos
+            FROM base CROSS JOIN ks
+        ), probes AS (
+            SELECT {DOC_UID}, fingerprint, substr(
+                md5(fingerprint || ':' || CAST(i AS VARCHAR)), 1, 4
+            ) AS pos
+            FROM incoming CROSS JOIN ks
+        )
+        SELECT p.{DOC_UID}, p.fingerprint,
+               CAST(count(b.pos) AS BIGINT) AS hits,
+               count(b.pos) = 4 AS maybe_duplicate
+        FROM probes p LEFT JOIN bpos b USING (pos)
+        GROUP BY p.{DOC_UID}, p.fingerprint
+    """
 
 
 def _webtext_extract_sql() -> str:

@@ -1,0 +1,248 @@
+"""Curation operators: deterministic stratified sampling, token-budget
+shard packing (distributed prefix sum vs a single global window), and
+bloom-filter incremental dedup (no false negatives, bounded FPs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from splink_spark.functions.text import doc_fingerprint, token_count
+from splink_spark.operators.curation import (
+    bloom_incremental_new,
+    pack_token_shards,
+    stratified_sample,
+)
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+def test_stratified_sample_quota_and_determinism(spark, docs):
+    out = stratified_sample(
+        docs, "source", 10, id_col="unique_id", seed=7
+    )
+    sizes = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for src, n in totals.items():
+        assert sizes[src] == min(10, n)
+    # determinism: same ids at different shuffle partitioning
+    a = sorted(r["unique_id"] for r in out.collect())
+    b = sorted(
+        r["unique_id"]
+        for r in stratified_sample(
+            docs.repartition(3), "source", 10, id_col="unique_id", seed=7
+        ).collect()
+    )
+    assert a == b
+    # a different seed picks a different sample
+    c = sorted(
+        r["unique_id"]
+        for r in stratified_sample(
+            docs, "source", 10, id_col="unique_id", seed=8
+        ).collect()
+    )
+    assert a != c
+
+
+def test_stratified_sample_prefilter_exactness(spark, docs):
+    plain = stratified_sample(docs, "lang", 10, id_col="unique_id", seed=3)
+    fast = stratified_sample(
+        docs,
+        "lang",
+        10,
+        id_col="unique_id",
+        seed=3,
+        prefilter_oversample=6.0,
+    )
+    key = lambda rows: sorted(  # noqa: E731
+        (r["unique_id"], r["sample_rank"]) for r in rows
+    )
+    assert key(plain.collect()) == key(fast.collect())
+
+
+def test_stratified_sample_prefilter_tiny_oversample_still_exact(
+    spark, docs
+):
+    """Oversample so small the shortfall fallback MUST fire for some
+    stratum — output must still equal the plain path."""
+    plain = stratified_sample(docs, "lang", 40, id_col="unique_id", seed=1)
+    fast = stratified_sample(
+        docs,
+        "lang",
+        40,
+        id_col="unique_id",
+        seed=1,
+        prefilter_oversample=1.001,
+    )
+    assert sorted(r["unique_id"] for r in plain.collect()) == sorted(
+        r["unique_id"] for r in fast.collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# pack_token_shards
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def packed(spark, docs):
+    return pack_token_shards(
+        docs, budget_tokens=2000, id_col="unique_id"
+    ).localCheckpoint()
+
+
+def test_pack_matches_single_global_window(spark, docs, packed):
+    """The distributed two-phase prefix sum must equal the naive
+    single-partition global window bit for bit."""
+    base = docs.select(
+        "unique_id",
+        F.coalesce(token_count("text"), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(F.col("unique_id").cast("string")).alias("k"),
+    )
+    w = (
+        Window.orderBy("k", "unique_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = base.select(
+        "unique_id",
+        "n_tokens",
+        F.row_number().over(Window.orderBy("k", "unique_id")).alias(
+            "pack_pos"
+        ),
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2000)
+        )
+        .cast("long")
+        .alias("shard_id"),
+    )
+    a = sorted(map(tuple, packed.collect()))
+    b = sorted(map(tuple, naive.collect()))
+    assert a == b
+
+
+def test_pack_shard_budget_properties(packed):
+    """Every shard except the last holds >= budget tokens only via its
+    final doc (greedy close): the exclusive prefix of each shard's
+    first doc is a budget multiple boundary crossing."""
+    rows = sorted(packed.collect(), key=lambda r: r["pack_pos"])
+    # pack_pos is a 1..n permutation
+    assert [r["pack_pos"] for r in rows] == list(range(1, len(rows) + 1))
+    # shard ids are non-decreasing in pack order and start at 0
+    sids = [r["shard_id"] for r in rows]
+    assert sids[0] == 0
+    assert all(b - a in (0, 1) for a, b in zip(sids, sids[1:])), (
+        "shards must be consecutive in pack order"
+    )
+    # every non-final shard's token total lands in [budget - max_doc,
+    # budget + max_doc] around the boundary: exact greedy semantics —
+    # shard changes exactly when the exclusive prefix crosses a
+    # multiple of the budget
+    cum = 0
+    for r in rows:
+        assert r["shard_id"] == cum // 2000
+        cum += r["n_tokens"]
+
+
+def test_pack_determinism_across_partitioning(spark, docs, packed):
+    again = pack_token_shards(
+        docs.repartition(7), budget_tokens=2000, id_col="unique_id"
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, packed.collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# bloom_incremental_new
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark, docs):
+    base = docs.filter(F.col("unique_id") % 3 != 0)
+    # incoming: genuinely-new docs + exact copies of 40 base docs
+    copies = (
+        base.filter(F.col("unique_id") % 9 == 1)
+        .limit(40)
+        .withColumn("unique_id", F.col("unique_id") + F.lit(500000))
+    )
+    incoming = docs.filter(F.col("unique_id") % 3 == 0).unionByName(copies)
+    out = bloom_incremental_new(
+        base, incoming, id_col="unique_id", k=4, prefix_hex=3
+    ).localCheckpoint()
+
+    # every true duplicate MUST be flagged maybe_duplicate (hits == k)
+    dup_ids = {r["unique_id"] for r in copies.select("unique_id").collect()}
+    flagged = {
+        r["unique_id"]
+        for r in out.filter("maybe_duplicate").collect()
+    }
+    assert dup_ids <= flagged, "bloom false negative — impossible"
+
+    # false positives exist but are bounded: with n_base fingerprints
+    # in m = 4096 positions and k = 4, FP rate = (1-e^{-kn/m})^4;
+    # assert the measured rate is under 4x the analytic bound
+    import math
+
+    n_base = base.count()
+    m = 16**3
+    fp_rate = (1 - math.exp(-4 * n_base / m)) ** 4
+    new_ids_total = incoming.count() - len(dup_ids)
+    false_pos = len(flagged - dup_ids)
+    assert false_pos <= max(10, 4 * fp_rate * new_ids_total)
+
+    # hits column is consistent with the flag
+    for r in out.collect():
+        assert r["maybe_duplicate"] == (r["hits"] == 4)
+
+
+def test_bloom_null_text_is_definitely_new(spark, docs):
+    base = docs.limit(50)
+    incoming = docs.limit(3).withColumn("text", F.lit(None).cast("string"))
+    out = bloom_incremental_new(base, incoming, id_col="unique_id")
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(not r["maybe_duplicate"] for r in rows)
+
+
+def test_bloom_exact_screen_composes_with_anti_join(spark, docs):
+    """The intended scale composition: bloom screen -> exact anti-join
+    only on the maybe-dup survivors == plain exact anti-join."""
+    base = docs.filter(F.col("unique_id") % 2 == 0)
+    incoming = docs.filter(F.col("unique_id") % 5 == 0)
+    screened = bloom_incremental_new(base, incoming, id_col="unique_id")
+    base_fp = base.select(doc_fingerprint("text").alias("fingerprint"))
+    survivors_checked = (
+        screened.filter("maybe_duplicate")
+        .join(base_fp.distinct(), "fingerprint", "left_anti")
+        .select("unique_id")
+    )
+    definitely_new = screened.filter("NOT maybe_duplicate").select(
+        "unique_id"
+    )
+    got = sorted(
+        r["unique_id"]
+        for r in definitely_new.unionByName(survivors_checked).collect()
+    )
+    want = sorted(
+        r["unique_id"]
+        for r in incoming.withColumn(
+            "fingerprint", doc_fingerprint("text")
+        )
+        .join(base_fp.distinct(), "fingerprint", "left_anti")
+        .select("unique_id")
+        .collect()
+    )
+    assert got == want
