@@ -1318,6 +1318,61 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMPLATE_SUFFIX = (
+    " homepage terms of service privacy policy contact us all rights reserved"
+)
+
+
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-shingle share per doc over a corpus with a PLANTED
+    per-source template suffix (constructed identically in both
+    engines): template-internal 8-shingles hit every doc of a source
+    (doc_freq 25+) or every doc (cross-source tail), organic text
+    stays under the min_docs threshold."""
+    from splink_spark.operators.textprep import boilerplate_share
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" visit "),
+            F.col("source"),
+            F.lit(_TEMPLATE_SUFFIX),
+        ),
+    )
+    return boilerplate_share(docs, id_col=DOC_UID, k=8, min_docs=5)
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over deterministic synthesized PII (email + phone
+    + ipv4 built from doc_id, appended identically in both engines):
+    per-kind match counts and the md5 of the redacted text. The
+    patterns are the RE2-compatible subset, so Spark's java.util.regex
+    and DuckDB's RE2 must agree byte for byte."""
+    from splink_spark.operators.textprep import pii_counts, redact_pii
+
+    uid_s = F.col(DOC_UID).cast("string")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        uid_s,
+        F.lit("@example.com or +1 555 01"),
+        uid_s,
+        F.lit(" node 10.0."),
+        (F.col(DOC_UID) % 256).cast("string"),
+        F.lit("."),
+        (F.col(DOC_UID) % 100).cast("string"),
+    )
+    t = _docs(spark, sf_dir).select(
+        F.col(DOC_UID), pii_text.alias("pii_text")
+    )
+    return t.select(
+        DOC_UID,
+        *pii_counts("pii_text").values(),
+        F.md5(redact_pii("pii_text")).alias("redacted_md5"),
+    )
+
+
 def q_curate_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language quota sample — runs the SCALE path
     (census prefilter + shortfall fallback) whose output is contractually
@@ -1329,6 +1384,25 @@ def q_curate_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col=DOC_UID,
         seed=7,
         prefilter_oversample=8.0,
+    )
+    return out.select(
+        DOC_UID, "lang", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+def q_curate_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus mixing (60/30/10 en/es/fr of a
+    100-row recipe); oracle replays the md5-order rank against an
+    inline quota table."""
+    from splink_spark.operators.curation import weighted_mix
+
+    out = weighted_mix(
+        _docs(spark, sf_dir),
+        "lang",
+        {"en": 0.6, "es": 0.3, "fr": 0.1},
+        total_rows=100,
+        id_col=DOC_UID,
+        seed=5,
     )
     return out.select(
         DOC_UID, "lang", F.col("sample_rank").cast("long").alias("sample_rank")
@@ -1984,8 +2058,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "curate_stratified_sample": q_curate_stratified,
+        "curate_weighted_mix": q_curate_weighted_mix,
         "curate_pack_shards": q_curate_pack_shards,
         "dedup_bloom_incremental": q_dedup_bloom,
+        "text_boilerplate": q_text_boilerplate,
+        "text_pii_redact": q_text_pii_redact,
         "webtext_extract": q_webtext_extract,
         "multimodal_features": q_multimodal,
         "multimodal_meta": q_multimodal_meta,
@@ -2914,6 +2991,16 @@ def oracle_sql() -> dict[str, str]:
             f") AS BIGINT) AS sample_rank FROM documents"
             f") WHERE sample_rank <= 30"
         ),
+        "curate_weighted_mix": (
+            f"SELECT {DOC_UID}, lang, sample_rank FROM ("
+            f"SELECT {DOC_UID}, lang, CAST(ROW_NUMBER() OVER ("
+            f"PARTITION BY lang ORDER BY "
+            f"md5(CAST({DOC_UID} AS VARCHAR) || ':5'), {DOC_UID}"
+            f") AS BIGINT) AS sample_rank FROM documents) t "
+            f"JOIN (VALUES ('en', 60), ('es', 30), ('fr', 10)) "
+            f"q(lang_q, quota) ON t.lang = q.lang_q "
+            f"WHERE sample_rank <= quota"
+        ),
         "curate_pack_shards": (
             f"WITH t AS (SELECT {DOC_UID}, "
             f"CAST(coalesce({token_count_sql('text')}, 0) AS BIGINT) "
@@ -2927,7 +3014,67 @@ def oracle_sql() -> dict[str, str]:
             f"AS shard_id FROM t"
         ),
         "dedup_bloom_incremental": _bloom_incremental_sql(),
+        "text_boilerplate": _text_boilerplate_sql(),
+        "text_pii_redact": _text_pii_redact_sql(),
     }
+
+
+def _text_boilerplate_sql() -> str:
+    """DuckDB replay of q_text_boilerplate: same constructed template
+    suffix, same shingle builder (word_shingles_sql), same distinct-
+    shingle doc-frequency threshold and per-doc share."""
+    sh = word_shingles_sql("text", 8)
+    return f"""
+        WITH t AS (
+            SELECT {DOC_UID},
+                   text || ' visit ' || source || '{_TEMPLATE_SUFFIX}'
+                       AS text
+            FROM documents
+        ), ex AS (
+            SELECT {DOC_UID}, unnest(list_distinct({sh})) AS shingle
+            FROM t
+        ), boiler AS (
+            SELECT shingle FROM ex GROUP BY shingle
+            HAVING count(*) >= 5
+        )
+        SELECT e.{DOC_UID},
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boilerplate,
+               CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+                   / greatest(CAST(count(*) AS BIGINT), 1)
+                   AS boilerplate_share
+        FROM ex e LEFT JOIN boiler b USING (shingle)
+        GROUP BY e.{DOC_UID}
+    """
+
+
+def _text_pii_redact_sql() -> str:
+    from splink_spark.operators.textprep import (
+        pii_counts_sql,
+        redact_pii_sql,
+    )
+
+    counts = pii_counts_sql("pii_text")
+    count_cols = ", ".join(
+        f"{sql} AS {name}" for name, sql in counts.items()
+    )
+    return f"""
+        WITH t AS (
+            SELECT {DOC_UID},
+                   text || ' contact user' || CAST({DOC_UID} AS VARCHAR)
+                        || '@example.com or +1 555 01'
+                        || CAST({DOC_UID} AS VARCHAR)
+                        || ' node 10.0.'
+                        || CAST({DOC_UID} % 256 AS VARCHAR) || '.'
+                        || CAST({DOC_UID} % 100 AS VARCHAR) AS pii_text
+            FROM documents
+        )
+        SELECT {DOC_UID}, {count_cols},
+               md5({redact_pii_sql('pii_text')}) AS redacted_md5
+        FROM t
+    """
 
 
 def _bloom_incremental_sql() -> str:

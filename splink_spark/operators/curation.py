@@ -274,3 +274,132 @@ def bloom_incremental_new(
         F.col("hits").cast("long").alias("hits"),
         (F.col("hits") == k).alias("maybe_duplicate"),
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str | None = None,
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.5,
+    jaccard_threshold: float = 0.7,
+    num_bands: int = 8,
+    n_per_stratum: int | None = None,
+    budget_tokens: int | None = None,
+    seed: int = 0,
+) -> tuple[DataFrame, dict[str, int]]:
+    """One-call corpus curation: quality gate → exact dedup → near-dup
+    clustering (keep one representative per cluster) → optional
+    per-stratum quota → optional token-budget shard packing.
+
+    Returns (curated DataFrame, per-stage row counts). The DataFrame
+    keeps all input columns plus ``shard_id`` when ``budget_tokens``
+    is set. Each stage is the scale-shaped operator documented in its
+    own module: no stage ever materialises an n² pair space or a
+    single-partition global sort.
+
+    This is a composition, not new machinery — it exists so a pipeline
+    user gets the canonical ordering right (dedup BEFORE quotas, quotas
+    BEFORE packing) without wiring five operators by hand.
+    """
+    from splink_spark.functions.text import quality_features
+    from splink_spark.operators.cluster import connected_components
+    from splink_spark.operators.dedup import (
+        distinct_by_fingerprint,
+        minhash_near_duplicates,
+    )
+
+    report: dict[str, int] = {"input": df.count()}
+
+    # 1. quality gate — native column math, pure map stage
+    feats = quality_features(text_col)
+    gated = (
+        df.withColumn("__ntok", feats["n_tokens"])
+        .withColumn("__punct", feats["punct_ratio"])
+        .filter(
+            (F.col("__ntok") >= min_tokens)
+            & (F.col("__punct") <= max_punct_ratio)
+        )
+        .drop("__ntok", "__punct")
+    )
+    report["after_quality"] = gated.count()
+
+    # 2. exact dedup — one hash aggregate on the md5 fingerprint
+    exact = distinct_by_fingerprint(gated, id_col=id_col, text_col=text_col)
+    report["after_exact_dedup"] = exact.count()
+
+    # 3. near-dup: LSH candidates -> verified pairs -> CC -> keep the
+    #    cluster representative (min id, matching CC's label invariant)
+    pairs = minhash_near_duplicates(
+        exact,
+        id_col=id_col,
+        text_col=text_col,
+        num_bands=num_bands,
+        jaccard_threshold=jaccard_threshold,
+    ).select(
+        F.col(f"{id_col}_l").alias("unique_id_l"),
+        F.col(f"{id_col}_r").alias("unique_id_r"),
+    )
+    clusters = connected_components(pairs)
+    drop = clusters.filter(
+        F.col("unique_id") != F.col("cluster_id")
+    ).select(F.col("unique_id").alias(id_col))
+    near = exact.join(drop, id_col, "left_anti")
+    report["after_near_dedup"] = near.count()
+
+    out = near
+    # 4. optional per-stratum quota (deterministic md5 order)
+    if strata_col is not None and n_per_stratum is not None:
+        out = stratified_sample(
+            out, strata_col, n_per_stratum, id_col=id_col, seed=seed
+        ).drop("sample_rank")
+        report["after_quota"] = out.count()
+
+    # 5. optional shard packing (two-phase distributed prefix sum)
+    if budget_tokens is not None:
+        shards = pack_token_shards(
+            out, budget_tokens, id_col=id_col, text_col=text_col
+        ).select(id_col, "shard_id")
+        out = out.join(shards, id_col)
+        report["shards"] = (
+            out.agg(F.max("shard_id")).collect()[0][0] or 0
+        ) + 1
+
+    report["output"] = out.count()
+    return out, report
+
+
+def weighted_mix(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    total_rows: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic corpus mixing: draw ``floor(weight * total_rows)``
+    rows from each stratum (fewer if the stratum is smaller) in md5
+    order — the "70% web / 20% code / 10% reference" recipe step of a
+    training-data pipeline, reproducible at any parallelism.
+
+    Output: all input columns plus ``sample_rank``. Strata absent from
+    ``weights`` contribute nothing. Same shuffle geometry as
+    stratified_sample (one shuffle on the stratum key, bounded
+    per-stratum sort); the quota table is a broadcast of len(weights)
+    rows.
+    """
+    spark = df.sparkSession
+    quotas = spark.createDataFrame(
+        [(k, int(w * total_rows)) for k, w in weights.items()],
+        [strata_col, "__quota"],
+    )
+    key = _sample_key(id_col, seed).alias("__skey")
+    w = Window.partitionBy(strata_col).orderBy("__skey", id_col)
+    return (
+        df.select("*", key)
+        .join(F.broadcast(quotas), strata_col)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= F.col("__quota"))
+        .drop("__skey", "__quota")
+    )

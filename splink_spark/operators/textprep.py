@@ -1,0 +1,208 @@
+"""Text-preparation operators for training-data pipelines: boilerplate
+n-gram detection and PII redaction.
+
+Not in the reference (splink links entities); these are corpus-hygiene
+passes a Common-Crawl-scale text pipeline runs before training —
+first-class here per the north rule, like operators/curation.py.
+
+Scale notes:
+- boilerplate detection is explode → one partial+final hash aggregate
+  on the shingle key → filter; the join-back for per-doc ratios is an
+  equi-join on the shingle (AQE-handled; the hot "the of and" shingles
+  are exactly the boilerplate being measured, and the aggregate has
+  map-side combine so hot keys collapse before the shuffle);
+- PII redaction is pure native regexp column work (JVM codegen, no
+  Python); patterns are written in the RE2-compatible subset (no
+  lookaround, ASCII classes) so the identical pattern runs in the
+  DuckDB oracle and any RE2-based scrubber downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from splink_spark.functions.text import word_shingles, word_shingles_sql
+
+
+# ---------------------------------------------------------------------------
+# boilerplate n-grams
+# ---------------------------------------------------------------------------
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 5,
+) -> DataFrame:
+    """k-word shingles that appear in >= ``min_docs`` DISTINCT documents
+    — the shared-template / navigation-chrome detector.
+
+    Output: (shingle, doc_freq), doc_freq >= min_docs. One explode +
+    one hash aggregate; per-doc shingles are array_distinct'ed first so
+    a shingle repeated within one doc counts once.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(text_col, k))
+        ).alias("shingle"),
+    )
+    return (
+        ex.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_docs)
+    )
+
+
+def boilerplate_share(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Per-document boilerplate measure: the share of the doc's DISTINCT
+    k-shingles that are corpus boilerplate (doc_freq >= min_docs).
+
+    Output: (id_col, n_shingles, n_boilerplate, boilerplate_share).
+    Documents above a share threshold are template pages / chrome-heavy
+    pages a curation pass drops or de-weights.
+
+    Deliberate two-pass design: the shingle explode runs twice (once
+    into the doc-frequency aggregate, once into the join-back). The
+    one-pass alternative — a count window partitioned by shingle —
+    buffers each shingle's whole partition in the window exec, and the
+    hot shingles ARE the boilerplate (up to one row per document), so
+    it OOMs exactly on the target workload. The aggregate's map-side
+    combine collapses hot keys before the shuffle; recomputing the
+    explode is a CPU cost, not a memory cliff. Callers who already
+    persist the exploded frame can pass it through
+    ``boilerplate_ngrams`` themselves.
+    """
+    boiler = boilerplate_ngrams(df, id_col, text_col, k, min_docs).select(
+        "shingle", F.lit(1).alias("__is_boiler")
+    )
+    ex = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(text_col, k))
+        ).alias("shingle"),
+    )
+    per_doc = (
+        ex.join(boiler, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce("__is_boiler", F.lit(0)))
+            .cast("long")
+            .alias("n_boilerplate"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_boilerplate",
+        (
+            F.col("n_boilerplate") / F.greatest(F.col("n_shingles"), F.lit(1))
+        ).alias("boilerplate_share"),
+    )
+
+
+def boilerplate_ngrams_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 5,
+) -> str:
+    """DuckDB replay of boilerplate_ngrams (shared shingle builder)."""
+    sh = word_shingles_sql(text_col, k)
+    return (
+        f"SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq FROM ("
+        f"SELECT {id_col}, unnest(list_distinct({sh})) AS shingle "
+        f"FROM {table}) GROUP BY shingle HAVING count(*) >= {min_docs}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# RE2-compatible subset (no lookaround, ASCII classes): the SAME pattern
+# string runs in Spark (java.util.regex), DuckDB (RE2), and any
+# RE2-based downstream scrubber. Order matters and is fixed:
+# email → ipv4 → phone (the email/ip patterns cannot overlap; phone
+# runs last so it can't eat the digit runs inside an ip).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "[EMAIL]",
+    ),
+    "ipv4": (
+        r"\b(\d{1,3}\.){3}\d{1,3}\b",
+        "[IP]",
+    ),
+    "phone": (
+        r"\+\d[\d -]{6,}\d",
+        "[PHONE]",
+    ),
+}
+
+
+def redact_pii(
+    text: Column | str, kinds: tuple[str, ...] = ("email", "ipv4", "phone")
+) -> Column:
+    """Redacted copy of ``text``: every PII match replaced by its
+    placeholder, applied in the fixed documented order."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind in kinds:
+        pat, repl = PII_PATTERNS[kind]
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(
+    text: Column | str, kinds: tuple[str, ...] = ("email", "ipv4", "phone")
+) -> dict[str, Column]:
+    """Per-kind match counts (named ``n_<kind>``), computed in the same
+    order as redaction so counts describe what redact_pii removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    out: dict[str, Column] = {}
+    for kind in kinds:
+        pat, repl = PII_PATTERNS[kind]
+        out[f"n_{kind}"] = (
+            F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        )
+        c = F.regexp_replace(c, pat, repl)
+    return out
+
+
+def redact_pii_sql(expr: str, kinds: tuple[str, ...] = ("email", "ipv4", "phone")) -> str:
+    """DuckDB replay of redact_pii (RE2, global flag). Backslashes are
+    LITERAL inside DuckDB single-quoted strings, so the pattern embeds
+    verbatim — only quotes need escaping."""
+    c = expr
+    for kind in kinds:
+        pat, repl = PII_PATTERNS[kind]
+        pat_sql = pat.replace("'", "''")
+        c = f"regexp_replace({c}, '{pat_sql}', '{repl}', 'g')"
+    return c
+
+
+def pii_counts_sql(
+    expr: str, kinds: tuple[str, ...] = ("email", "ipv4", "phone")
+) -> dict[str, str]:
+    """DuckDB replay of pii_counts: count on the progressively-redacted
+    text, mirroring the Spark order exactly."""
+    c = expr
+    out: dict[str, str] = {}
+    for kind in kinds:
+        pat, repl = PII_PATTERNS[kind]
+        pat_sql = pat.replace("'", "''")
+        out[f"n_{kind}"] = (
+            f"CAST(len(regexp_extract_all({c}, '{pat_sql}')) AS BIGINT)"
+        )
+        c = f"regexp_replace({c}, '{pat_sql}', '{repl}', 'g')"
+    return out

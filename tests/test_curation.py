@@ -246,3 +246,80 @@ def test_bloom_exact_screen_composes_with_anti_join(spark, docs):
         .collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# curate_corpus (one-call composition)
+# ---------------------------------------------------------------------------
+
+def test_curate_corpus_end_to_end(spark, docs):
+    from splink_spark.functions.text import doc_fingerprint as fp_fn
+    from splink_spark.operators.curation import curate_corpus
+
+    # plant exact copies so the exact-dedup stage has work
+    copies = docs.filter(F.col("unique_id") % 25 == 0).withColumn(
+        "unique_id", F.col("unique_id") + F.lit(700000)
+    )
+    corpus = docs.unionByName(copies)
+    out, report = curate_corpus(
+        corpus,
+        id_col="unique_id",
+        strata_col="lang",
+        n_per_stratum=30,
+        budget_tokens=4000,
+        jaccard_threshold=0.6,
+    )
+    rows = out.localCheckpoint()
+    # stage ordering and monotone shrinkage
+    assert report["input"] == corpus.count()
+    assert (
+        report["input"]
+        >= report["after_quality"]
+        >= report["after_exact_dedup"]
+        >= report["after_near_dedup"]
+        >= report["after_quota"]
+        >= report["output"]
+    )
+    # exact dedup really removed the planted copies
+    assert report["after_exact_dedup"] <= report["after_quality"] - 19
+    # no two output docs share a fingerprint
+    n_fp = rows.select(fp_fn("text")).distinct().count()
+    assert n_fp == report["output"]
+    # quota respected per stratum
+    per = rows.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert all(r["n"] <= 30 for r in per)
+    # every row has a shard assignment and shards start at 0
+    assert rows.filter(F.col("shard_id").isNull()).count() == 0
+    assert rows.agg(F.min("shard_id")).collect()[0][0] == 0
+    assert report["shards"] >= 1
+
+
+def test_weighted_mix_quotas(spark, docs):
+    from splink_spark.operators.curation import weighted_mix
+
+    out = weighted_mix(
+        docs,
+        "lang",
+        {"en": 0.6, "es": 0.3, "fr": 0.1},
+        total_rows=100,
+        id_col="unique_id",
+        seed=5,
+    ).localCheckpoint()
+    per = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # en:60 of 193, es:30 of 80, fr:10 of 82; de/zh excluded
+    assert per == {"en": 60, "es": 30, "fr": 10}
+    # deterministic across partitioning
+    again = weighted_mix(
+        docs.repartition(5),
+        "lang",
+        {"en": 0.6, "es": 0.3, "fr": 0.1},
+        total_rows=100,
+        id_col="unique_id",
+        seed=5,
+    )
+    assert sorted(r["unique_id"] for r in again.collect()) == sorted(
+        r["unique_id"] for r in out.collect()
+    )

@@ -322,3 +322,79 @@ def test_session_stats_is_hash_aggregate(spark):
     p = plan_str(out, mode="simple")
     assert "HashAggregate" in p, p
     assert "SortAggregate" not in p, p
+
+
+def test_pack_shards_windows_are_bucket_parallel(spark, docs):
+    """pack_token_shards claims NO single-partition window over the
+    data: per-row windows hash-partition on the md5-prefix bucket, and
+    the only SinglePartition exchange feeds the 16^k-row totals frame
+    (curation.py docstring)."""
+    from splink_spark.operators.curation import pack_token_shards
+
+    out = pack_token_shards(docs, budget_tokens=2000, id_col="unique_id")
+    p = plan_str(out, mode="simple")
+    assert "hashpartitioning(__bucket" in p, p
+    # exactly one global exchange — the tiny totals prefix-sum, never
+    # the data path
+    assert p.count("Exchange SinglePartition") == 1, p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+
+
+def test_bloom_probe_join_is_broadcast(spark, docs):
+    """bloom_incremental_new claims the position set broadcasts (it is
+    bounded by 16^prefix_hex rows regardless of base size) — the probe
+    join must be a BroadcastHashJoin, never a shuffled join."""
+    from splink_spark.operators.curation import bloom_incremental_new
+
+    out = bloom_incremental_new(
+        docs.limit(200), docs, id_col="unique_id"
+    )
+    equi, bad, broadcast = join_counts(out)
+    p = plan_str(out, mode="simple")
+    assert bad == 0, p
+    assert broadcast >= 1, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_stratified_prefilter_census_joins_are_broadcast(spark, docs):
+    """stratified_sample's scale path: census and shortfall frames are
+    tiny (one row per stratum) and must broadcast back; the top-N
+    window partitions on the stratum key."""
+    from splink_spark.operators.curation import stratified_sample
+
+    out = stratified_sample(
+        docs, "lang", 10, id_col="unique_id", prefilter_oversample=8.0
+    )
+    p = plan_str(out, mode="simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "hashpartitioning(lang" in p, p
+    assert "Exchange SinglePartition" not in p, p
+
+
+def test_redact_pii_is_codegen_no_python(spark, docs):
+    """PII redaction is native regexp column work: whole-stage codegen,
+    zero Python eval nodes."""
+    from splink_spark.operators.textprep import pii_counts, redact_pii
+
+    out = docs.select(
+        "unique_id",
+        redact_pii("text").alias("red"),
+        *pii_counts("text").values(),
+    )
+    p = plan_str(out, mode="formatted")
+    # formatted mode marks codegen stages with a leading '*'
+    assert "* Project" in p or "WholeStageCodegen" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_boilerplate_is_hash_aggregate_no_bad_joins(spark, docs):
+    """boilerplate_share: explode -> hash aggregate on the shingle key
+    (map-side combine collapses hot boilerplate shingles before the
+    shuffle) -> equi join-back; never a cartesian."""
+    from splink_spark.operators.textprep import boilerplate_share
+
+    out = boilerplate_share(docs, id_col="unique_id", k=8, min_docs=5)
+    p = plan_str(out, mode="simple")
+    assert "HashAggregate" in p, p
+    _, bad, _ = join_counts(out)
+    assert bad == 0, p
