@@ -1373,6 +1373,22 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring duplication (Lee et al. 2022 as
+    relational passes): maximal token spans whose every 10-gram appears
+    in >= 2 distinct docs, over the planted-copies corpus. The oracle
+    replays shingling, the distinct-doc census, and island merging in
+    DuckDB."""
+    from splink_spark.operators.textprep import repeated_spans
+
+    return repeated_spans(
+        _planted_dupes(_docs(spark, sf_dir)).select(DOC_UID, "text"),
+        id_col=DOC_UID,
+        k=10,
+        min_docs=2,
+    )
+
+
 def q_curate_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language quota sample — runs the SCALE path
     (census prefilter + shortfall fallback) whose output is contractually
@@ -2063,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom_incremental": q_dedup_bloom,
         "text_boilerplate": q_text_boilerplate,
         "text_pii_redact": q_text_pii_redact,
+        "text_repeated_spans": q_text_repeated_spans,
         "webtext_extract": q_webtext_extract,
         "multimodal_features": q_multimodal,
         "multimodal_meta": q_multimodal_meta,
@@ -3016,7 +3033,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_bloom_incremental": _bloom_incremental_sql(),
         "text_boilerplate": _text_boilerplate_sql(),
         "text_pii_redact": _text_pii_redact_sql(),
+        "text_repeated_spans": _text_repeated_spans_sql(),
     }
+
+
+def _text_repeated_spans_sql() -> str:
+    from splink_spark.operators.textprep import repeated_spans_sql
+
+    return repeated_spans_sql(
+        f"(SELECT {DOC_UID}, text FROM ({_PLANTED_SQL}))",
+        id_col=DOC_UID,
+        k=10,
+        min_docs=2,
+    )
 
 
 def _text_boilerplate_sql() -> str:

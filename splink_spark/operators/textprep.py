@@ -206,3 +206,122 @@ def pii_counts_sql(
         )
         c = f"regexp_replace({c}, '{pat_sql}', '{repl}', 'g')"
     return out
+
+
+# ---------------------------------------------------------------------------
+# repeated-span detection (exact-substring dedup, Lee et al. style)
+# ---------------------------------------------------------------------------
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal token spans of each document whose every k-gram also
+    appears in >= ``min_docs`` distinct documents — the span-level
+    exact-substring duplication signal ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022, re-expressed as
+    relational passes instead of a suffix array).
+
+    Output: (id_col, span_start, span_end, span_tokens) — 1-based
+    token indices, spans maximal (overlapping/adjacent repeated
+    k-grams merged).
+
+    Scale shape: positions table is one row per token (linear),
+    k-gram doc-frequency census is distinct + one hash aggregate,
+    the repeated-gram join is an equi-join with NO fan-out (the
+    census side is distinct grams), and island-merging windows
+    partition by document — every shuffle is key-bounded, nothing
+    approaches the n² pair space or a global sort.
+    """
+    from pyspark.sql import Window
+
+    sh = word_shingles(text_col, k)
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(sh).alias("__pos0", "__gram"),
+    ).select(
+        id_col, (F.col("__pos0") + 1).alias("pos"), F.col("__gram").alias("gram")
+    )
+    census = (
+        grams.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_docs)
+        .select("gram")
+    )
+    hits = grams.join(census, "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    lag = F.lag("pos").over(w)
+    new_island = F.when(
+        lag.isNull() | (F.col("pos") - lag > k), 1
+    ).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = hits.withColumn(
+        "__island", F.sum(new_island).over(wc)
+    )
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+
+
+def repeated_spans_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB replay of repeated_spans: shared shingle builder,
+    positional unnest via a struct list, identical island merging."""
+    sh = word_shingles_sql(text_col, k)
+    return f"""
+        WITH grams AS (
+            SELECT {id_col}, u.pos, u.gram FROM (
+                SELECT {id_col}, unnest(list_transform(
+                    generate_series(1, len({sh})),
+                    i -> {{'pos': i, 'gram': ({sh})[i]}}
+                )) AS u
+                FROM {table}
+            )
+        ), census AS (
+            SELECT gram FROM (
+                SELECT DISTINCT {id_col}, gram FROM grams
+            ) GROUP BY gram HAVING count(*) >= {min_docs}
+        ), hits AS (
+            SELECT g.{id_col}, g.pos FROM grams g JOIN census USING (gram)
+        ), isl AS (
+            SELECT {id_col}, pos,
+                   SUM(CASE WHEN prev IS NULL OR pos - prev > {k}
+                       THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY {id_col} ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS island
+            FROM (
+                SELECT {id_col}, pos,
+                       lag(pos) OVER (PARTITION BY {id_col} ORDER BY pos)
+                           AS prev
+                FROM hits
+            )
+        )
+        SELECT {id_col},
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + {k - 1} AS BIGINT) AS span_end,
+               CAST(max(pos) + {k - 1} - min(pos) + 1 AS BIGINT)
+                   AS span_tokens
+        FROM isl GROUP BY {id_col}, island
+    """

@@ -151,3 +151,77 @@ def test_pii_patterns_are_re2_safe():
         con.execute(
             f"SELECT regexp_matches('probe', '{pat.replace(chr(39), chr(39)*2)}')"
         )
+
+
+# ---------------------------------------------------------------------------
+# repeated_spans
+# ---------------------------------------------------------------------------
+
+def test_repeated_spans_finds_planted_shared_sentence(spark):
+    from splink_spark.operators.textprep import repeated_spans
+
+    shared = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta epsilon zeta"),
+        (2, shared + " unrelated tail words here padding more"),
+        (3, "prefix words first then " + shared),
+        (4, "completely different text with no repeats at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = repeated_spans(df, k=10, min_docs=2).collect()
+    spans = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in out}
+    # shared sentence is 11 tokens -> two 10-gram positions, one span
+    assert 4 not in spans
+    # doc 1: shared at tokens 3..13
+    assert spans[1] == (3, 13)
+    # doc 2: shared at tokens 1..11
+    assert spans[2] == (1, 11)
+    # doc 3: shared at tokens 5..15
+    assert spans[3] == (5, 15)
+    for r in out:
+        assert r["span_tokens"] == r["span_end"] - r["span_start"] + 1
+
+
+def test_repeated_spans_merges_overlapping_islands(spark):
+    from splink_spark.operators.textprep import repeated_spans
+
+    # doc 5/6 share the first 14 tokens AND tokens 20.. (two spans in
+    # doc 5 separated by a unique gap longer than k)
+    common_a = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
+    common_b = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        (5, common_a + " u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 " + common_b),
+        (6, common_a + " x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 " + common_b),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in repeated_spans(df, k=10, min_docs=2).collect()
+    )
+    # common_a: 14 tokens at 1..14; common_b: 12 tokens at 26..37
+    assert out == [(5, 1, 14), (5, 26, 37), (6, 1, 14), (6, 26, 37)]
+
+
+def test_repeated_spans_duckdb_parity(spark, docs):
+    from splink_spark.operators.textprep import (
+        repeated_spans,
+        repeated_spans_sql,
+    )
+
+    planted = docs.unionByName(
+        docs.filter(F.col("unique_id") % 10 == 0).withColumn(
+            "unique_id", F.col("unique_id") + F.lit(100000)
+        )
+    ).select("unique_id", "text")
+    got = sorted(
+        map(tuple, repeated_spans(planted, id_col="unique_id", k=10).collect())
+    )
+    pdf = planted.toPandas()
+    con = duckdb.connect()
+    con.register("t0", pdf)
+    want = sorted(
+        con.execute(
+            repeated_spans_sql("t0", id_col="unique_id", k=10)
+        ).fetchall()
+    )
+    assert got == want
