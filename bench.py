@@ -298,6 +298,24 @@ def main() -> None:
                 broadcast_queries=True,
             ).count()
             leg["ivf_sec"] = round(time.time() - t0, 3)
+
+            # r5 curation ops: shard packing (two-phase prefix sum —
+            # must stay ~flat-per-row) and repeated-span detection
+            # (positional k-gram census — must stay ~linear)
+            from splink_spark.operators.curation import pack_token_shards
+            from splink_spark.operators.textprep import repeated_spans
+
+            t0 = time.time()
+            leg["pack_rows"] = pack_token_shards(
+                pages_l, budget_tokens=100_000, id_col="unique_id"
+            ).count()
+            leg["pack_sec"] = round(time.time() - t0, 3)
+
+            t0 = time.time()
+            leg["spans_rows"] = repeated_spans(
+                pages_l, id_col="unique_id", k=10, min_docs=2
+            ).count()
+            leg["spans_sec"] = round(time.time() - t0, 3)
             legs[leg_name] = leg
             pages_l.unpersist()
             edges_l.unpersist()
@@ -309,7 +327,7 @@ def main() -> None:
                 / data_ratio,
                 3,
             )
-            for stage in ("minhash", "cc", "ivf")
+            for stage in ("minhash", "cc", "ivf", "pack", "spans")
         }
         scale_check = {
             "legs": legs,
