@@ -126,3 +126,65 @@ def test_fuzz_weighted_mix_vs_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [5, 55])
+def test_fuzz_pii_redaction_vs_duckdb(spark, seed):
+    """Random text with randomly embedded emails/ips/phones — Spark's
+    java.util.regex and DuckDB's RE2 must redact and count identically
+    (the RE2-subset contract under adversarial spacing/punctuation)."""
+    from splink_spark.operators.textprep import (
+        pii_counts,
+        pii_counts_sql,
+        redact_pii,
+        redact_pii_sql,
+    )
+
+    rng = np.random.default_rng(seed)
+    words = ["lorem", "ipsum", "dolor", "sit", "amet", "x9", "..", "-"]
+
+    def rand_email():
+        u = "".join(rng.choice(list("abcz09._%+-"), size=rng.integers(1, 8)))
+        d = "".join(rng.choice(list("abcz09.-"), size=rng.integers(1, 6)))
+        tld = "".join(rng.choice(list("abcz"), size=rng.integers(1, 4)))
+        return f"{u}@{d}.{tld}"
+
+    def rand_ip():
+        return ".".join(str(rng.integers(0, 400)) for _ in range(4))
+
+    def rand_phone():
+        body = "".join(
+            rng.choice(list("0123456789 -"), size=rng.integers(3, 14))
+        )
+        return f"+{rng.integers(0, 10)}{body}{rng.integers(0, 10)}"
+
+    texts = []
+    for _ in range(60):
+        parts = list(rng.choice(words, size=rng.integers(0, 6)))
+        for gen in (rand_email, rand_ip, rand_phone):
+            if rng.random() < 0.7:
+                parts.insert(int(rng.integers(0, len(parts) + 1)), gen())
+        texts.append(" ".join(parts))
+
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    got = (
+        df.select(
+            "i", redact_pii("text").alias("red"), *pii_counts("text").values()
+        )
+        .orderBy("i")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("t0", pdf)
+    counts = pii_counts_sql("text")
+    want = con.execute(
+        f"SELECT i, {redact_pii_sql('text')} AS red, "
+        f"{counts['n_email']}, {counts['n_ipv4']}, {counts['n_phone']} "
+        f"FROM t0 ORDER BY i"
+    ).fetchall()
+    for srow, drow in zip(got, want):
+        assert srow["red"] == drow[1], (srow["red"], drow[1])
+        assert (srow["n_email"], srow["n_ipv4"], srow["n_phone"]) == (
+            drow[2], drow[3], drow[4],
+        )
