@@ -276,6 +276,55 @@ def bloom_incremental_new(
     )
 
 
+def _quality_gate(
+    df: DataFrame,
+    text_col: str,
+    min_tokens: int,
+    max_punct_ratio: float,
+) -> DataFrame:
+    from splink_spark.functions.text import quality_features
+
+    feats = quality_features(text_col)
+    return (
+        df.withColumn("__ntok", feats["n_tokens"])
+        .withColumn("__punct", feats["punct_ratio"])
+        .filter(
+            (F.col("__ntok") >= min_tokens)
+            & (F.col("__punct") <= max_punct_ratio)
+        )
+        .drop("__ntok", "__punct")
+    )
+
+
+def _drop_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_bands: int,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """Keep one representative (the CC min-id label) per near-dup
+    cluster; rows not in any near-dup pair pass through untouched."""
+    from splink_spark.operators.cluster import connected_components
+    from splink_spark.operators.dedup import minhash_near_duplicates
+
+    pairs = minhash_near_duplicates(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_bands=num_bands,
+        jaccard_threshold=jaccard_threshold,
+    ).select(
+        F.col(f"{id_col}_l").alias("unique_id_l"),
+        F.col(f"{id_col}_r").alias("unique_id_r"),
+    )
+    clusters = connected_components(pairs)
+    drop = clusters.filter(
+        F.col("unique_id") != F.col("cluster_id")
+    ).select(F.col("unique_id").alias(id_col))
+    return df.join(drop, id_col, "left_anti")
+
+
 def curate_corpus(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -303,26 +352,12 @@ def curate_corpus(
     user gets the canonical ordering right (dedup BEFORE quotas, quotas
     BEFORE packing) without wiring five operators by hand.
     """
-    from splink_spark.functions.text import quality_features
-    from splink_spark.operators.cluster import connected_components
-    from splink_spark.operators.dedup import (
-        distinct_by_fingerprint,
-        minhash_near_duplicates,
-    )
+    from splink_spark.operators.dedup import distinct_by_fingerprint
 
     report: dict[str, int] = {"input": df.count()}
 
     # 1. quality gate — native column math, pure map stage
-    feats = quality_features(text_col)
-    gated = (
-        df.withColumn("__ntok", feats["n_tokens"])
-        .withColumn("__punct", feats["punct_ratio"])
-        .filter(
-            (F.col("__ntok") >= min_tokens)
-            & (F.col("__punct") <= max_punct_ratio)
-        )
-        .drop("__ntok", "__punct")
-    )
+    gated = _quality_gate(df, text_col, min_tokens, max_punct_ratio)
     report["after_quality"] = gated.count()
 
     # 2. exact dedup — one hash aggregate on the md5 fingerprint
@@ -331,21 +366,9 @@ def curate_corpus(
 
     # 3. near-dup: LSH candidates -> verified pairs -> CC -> keep the
     #    cluster representative (min id, matching CC's label invariant)
-    pairs = minhash_near_duplicates(
-        exact,
-        id_col=id_col,
-        text_col=text_col,
-        num_bands=num_bands,
-        jaccard_threshold=jaccard_threshold,
-    ).select(
-        F.col(f"{id_col}_l").alias("unique_id_l"),
-        F.col(f"{id_col}_r").alias("unique_id_r"),
+    near = _drop_near_duplicates(
+        exact, id_col, text_col, num_bands, jaccard_threshold
     )
-    clusters = connected_components(pairs)
-    drop = clusters.filter(
-        F.col("unique_id") != F.col("cluster_id")
-    ).select(F.col("unique_id").alias(id_col))
-    near = exact.join(drop, id_col, "left_anti")
     report["after_near_dedup"] = near.count()
 
     out = near
@@ -403,3 +426,89 @@ def weighted_mix(
         .filter(F.col("sample_rank") <= F.col("__quota"))
         .drop("__skey", "__quota")
     )
+
+
+def staged_curate_corpus(
+    df: DataFrame,
+    manager,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str | None = None,
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.5,
+    jaccard_threshold: float = 0.7,
+    num_bands: int = 8,
+    n_per_stratum: int | None = None,
+    budget_tokens: int | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """curate_corpus with resumable parquet checkpoints: every stage
+    runs through a ``plans.stages.StageManager`` (north rule: any stage
+    resumes from its last checkpoint, with per-partition lineage and
+    row metrics). Stage keys combine the input-data fingerprint with
+    every parameter, so changed input or a changed recipe can never
+    resume a stale checkpoint — and each downstream stage reads its
+    upstream's CHECKPOINT, not the live plan, so a resumed run skips
+    all completed work.
+    """
+    from splink_spark.operators.dedup import distinct_by_fingerprint
+    from splink_spark.plans.stages import content_hash, input_fingerprint
+
+    params = "|".join(
+        str(x)
+        for x in (
+            id_col, text_col, strata_col, min_tokens, max_punct_ratio,
+            jaccard_threshold, num_bands, n_per_stratum, budget_tokens,
+            seed,
+        )
+    )
+    key = content_hash(input_fingerprint({"corpus": df}), params)
+
+    gated = manager.stage(
+        "curate_quality",
+        key,
+        lambda: _quality_gate(df, text_col, min_tokens, max_punct_ratio),
+        extra_metrics={"stage_kind": "quality_gate"},
+    )
+    exact = manager.stage(
+        "curate_exact_dedup",
+        key,
+        lambda: distinct_by_fingerprint(
+            gated, id_col=id_col, text_col=text_col
+        ),
+        extra_metrics={"stage_kind": "exact_dedup"},
+    )
+    out = manager.stage(
+        "curate_near_dedup",
+        key,
+        lambda: _drop_near_duplicates(
+            exact, id_col, text_col, num_bands, jaccard_threshold
+        ),
+        extra_metrics={"stage_kind": "near_dedup"},
+    )
+    if strata_col is not None and n_per_stratum is not None:
+        quota_in = out
+        out = manager.stage(
+            "curate_quota",
+            key,
+            lambda: stratified_sample(
+                quota_in, strata_col, n_per_stratum, id_col=id_col,
+                seed=seed,
+            ).drop("sample_rank"),
+            extra_metrics={"stage_kind": "stratified_quota"},
+        )
+    if budget_tokens is not None:
+        pack_in = out
+        out = manager.stage(
+            "curate_shards",
+            key,
+            lambda: pack_in.join(
+                pack_token_shards(
+                    pack_in, budget_tokens, id_col=id_col,
+                    text_col=text_col,
+                ).select(id_col, "shard_id"),
+                id_col,
+            ),
+            extra_metrics={"stage_kind": "shard_packing"},
+        )
+    return out

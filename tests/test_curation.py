@@ -323,3 +323,42 @@ def test_weighted_mix_quotas(spark, docs):
     assert sorted(r["unique_id"] for r in again.collect()) == sorted(
         r["unique_id"] for r in out.collect()
     )
+
+
+def test_staged_curate_corpus_resumes(spark, docs, tmp_path):
+    from splink_spark.operators.curation import staged_curate_corpus
+    from splink_spark.plans.stages import StageManager
+
+    kwargs = dict(
+        id_col="unique_id",
+        strata_col="lang",
+        n_per_stratum=25,
+        budget_tokens=4000,
+    )
+    m1 = StageManager(spark, str(tmp_path / "stages"))
+    out1 = staged_curate_corpus(docs, m1, **kwargs)
+    rows1 = sorted(r["unique_id"] for r in out1.collect())
+    assert all(not s.resumed for s in m1.results)
+    assert [s.name for s in m1.results] == [
+        "curate_quality",
+        "curate_exact_dedup",
+        "curate_near_dedup",
+        "curate_quota",
+        "curate_shards",
+    ]
+    # fresh manager, same dir: every stage resumes from checkpoint,
+    # output identical
+    m2 = StageManager(spark, str(tmp_path / "stages"))
+    out2 = staged_curate_corpus(docs, m2, **kwargs)
+    assert all(s.resumed for s in m2.results)
+    assert sorted(r["unique_id"] for r in out2.collect()) == rows1
+    # a changed recipe parameter invalidates (no stale resume)
+    m3 = StageManager(spark, str(tmp_path / "stages"))
+    staged_curate_corpus(docs, m3, id_col="unique_id",
+                         strata_col="lang", n_per_stratum=24,
+                         budget_tokens=4000)
+    assert all(not s.resumed for s in m3.results)
+    # lineage table exists for a built stage
+    lin = m1.lineage("curate_quality", m1.results[0].path.split("_")[-1]
+                     .replace(".parquet", ""))
+    assert lin.count() >= 1
