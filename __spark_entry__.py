@@ -1373,6 +1373,40 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_o21_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source column completeness for a two-source link job
+    (reference: splink/missingness.py::completeness_data): union docs
+    under source_dataset labels with lang nulled in one source, one
+    grouped aggregate + unpivot."""
+    from splink_spark.operators.profile import completeness_by_source
+
+    docs = _docs(spark, sf_dir)
+    a = docs.withColumn("source_dataset", F.lit("left"))
+    b = docs.withColumn(
+        "lang",
+        F.when(F.col(DOC_UID) % 4 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ),
+    ).withColumn("source_dataset", F.lit("right"))
+    return completeness_by_source(
+        a.unionByName(b), columns=["text", "lang", "source"]
+    )
+
+
+def q_text_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus length profile with EXACT percentiles
+    (Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    interpolation definition — verified bit-identical, including the
+    float dust in interpolated values)."""
+    tc = token_count("text")
+    return _docs(spark, sf_dir).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.percentile(tc, F.lit(0.5)).alias("p50_tokens"),
+        F.percentile(tc, F.lit(0.9)).alias("p90_tokens"),
+        F.avg(F.length("text")).alias("mean_chars"),
+    )
+
+
 def q_text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact-substring duplication (Lee et al. 2022 as
     relational passes): maximal token spans whose every 10-gram appears
@@ -2054,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o19_block_census": q_o19_census,
         "o19_cumulative": q_o19_cumulative,
         "o21_missingness": q_o21_missingness,
+        "o21_completeness": q_o21_completeness,
         "o21_profile_values": q_o21_profile,
         "o22_truth_space": q_o22_truth_space,
         "o22_errors": q_o22_errors,
@@ -2080,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": q_text_boilerplate,
         "text_pii_redact": q_text_pii_redact,
         "text_repeated_spans": q_text_repeated_spans,
+        "text_length_profile": q_text_length_profile,
         "webtext_extract": q_webtext_extract,
         "multimodal_features": q_multimodal,
         "multimodal_meta": q_multimodal_meta,
@@ -3034,6 +3070,29 @@ def oracle_sql() -> dict[str, str]:
         "text_boilerplate": _text_boilerplate_sql(),
         "text_pii_redact": _text_pii_redact_sql(),
         "text_repeated_spans": _text_repeated_spans_sql(),
+        "o21_completeness": (
+            f"WITH u AS ("
+            f"SELECT text, lang, source, 'left' AS source_dataset "
+            f"FROM documents UNION ALL "
+            f"SELECT text, CASE WHEN {DOC_UID} % 4 = 0 THEN NULL "
+            f"ELSE lang END AS lang, source, 'right' AS source_dataset "
+            f"FROM documents) "
+            f"SELECT source_dataset, column_name, completeness FROM ("
+            f"SELECT source_dataset, "
+            f"avg(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END) AS text, "
+            f"avg(CASE WHEN lang IS NOT NULL THEN 1.0 ELSE 0.0 END) AS lang, "
+            f"avg(CASE WHEN source IS NOT NULL THEN 1.0 ELSE 0.0 END) AS source "
+            f"FROM u GROUP BY source_dataset) "
+            f"UNPIVOT (completeness FOR column_name IN (text, lang, source))"
+        ),
+        "text_length_profile": (
+            f"SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            f"quantile_cont(tc, 0.5) AS p50_tokens, "
+            f"quantile_cont(tc, 0.9) AS p90_tokens, "
+            f"avg(length(text)) AS mean_chars FROM ("
+            f"SELECT lang, text, {token_count_sql('text')} AS tc "
+            f"FROM documents) GROUP BY lang"
+        ),
     }
 
 

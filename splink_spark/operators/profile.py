@@ -66,3 +66,27 @@ def column_cardinalities(
     return wide.selectExpr(
         f"stack({len(cols)}, {stack_expr}) as (column_name, approx_distinct)"
     )
+
+
+def completeness_by_source(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    source_col: str = "source_dataset",
+) -> DataFrame:
+    """Per-source column completeness (non-null share) — the data
+    behind splink's completeness chart for multi-source link jobs
+    (reference: splink/missingness.py::completeness_data). One grouped
+    aggregate: every column's non-null share per source dataset in a
+    single scan, then unpivoted to (source, column_name,
+    completeness).
+    """
+    cols = columns or [c for c in df.columns if c != source_col]
+    aggs = [
+        F.avg(F.col(c).isNotNull().cast("double")).alias(c) for c in cols
+    ]
+    wide = df.groupBy(source_col).agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', `{c}`" for c in cols)
+    return wide.selectExpr(
+        source_col,
+        f"stack({len(cols)}, {stack_expr}) as (column_name, completeness)",
+    )

@@ -231,3 +231,21 @@ def test_validation_accepts_derived_columns(spark, docs):
     )
     with pytest.raises(ValueError):
         validate_settings_against_schemas(bad_link_type, {"a": docs})
+
+
+def test_completeness_by_source(spark, docs):
+    from pyspark.sql import functions as F
+
+    from splink_spark.operators.profile import completeness_by_source
+
+    a = docs.withColumn("source_dataset", F.lit("a"))
+    b = docs.withColumn(
+        "text", F.when(F.col("unique_id") % 2 == 0, None).otherwise(F.col("text"))
+    ).withColumn("source_dataset", F.lit("b"))
+    out = completeness_by_source(
+        a.unionByName(b), columns=["text", "lang"]
+    ).collect()
+    got = {(r["source_dataset"], r["column_name"]): r["completeness"] for r in out}
+    assert got[("a", "text")] == 1.0
+    assert got[("a", "lang")] == 1.0
+    assert 0.4 < got[("b", "text")] < 0.6
