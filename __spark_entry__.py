@@ -1373,6 +1373,35 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_webtext_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministically-messy synthesized
+    URLs (mixed-case authority, default port, tracking params,
+    fragment, trailing slash — all built from doc_id identically in
+    both engines). Patterns are shared; only the backreference
+    replacement syntax differs per engine ($1 vs \\1)."""
+    from splink_spark.functions.text import url_domain
+    from splink_spark.operators.webtext import canonical_url
+
+    uid_s = F.col(DOC_UID).cast("string")
+    raw = F.concat(
+        F.lit("HTTP://SRC"),
+        (F.col(DOC_UID) % 5).cast("string"),
+        F.lit(".Example.COM:80/Doc/"),
+        uid_s,
+        F.lit("/?utm_source=x&q="),
+        uid_s,
+        F.lit("#f"),
+        uid_s,
+    )
+    t = _docs(spark, sf_dir).select(F.col(DOC_UID), raw.alias("url_raw"))
+    canon = canonical_url("url_raw")
+    return t.select(
+        DOC_UID,
+        canon.alias("url_canonical"),
+        url_domain(canon).alias("bk_domain"),
+    )
+
+
 def q_o21_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source column completeness for a two-source link job
     (reference: splink/missingness.py::completeness_data): union docs
@@ -2117,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repeated_spans": q_text_repeated_spans,
         "text_length_profile": q_text_length_profile,
         "webtext_extract": q_webtext_extract,
+        "webtext_canonical_url": q_webtext_canonical_url,
         "multimodal_features": q_multimodal,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
@@ -3036,6 +3066,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM documents"
         ),
         "webtext_extract": _webtext_extract_sql(),
+        "webtext_canonical_url": _webtext_canonical_url_sql(),
         "curate_stratified_sample": (
             f"SELECT {DOC_UID}, lang, sample_rank FROM ("
             f"SELECT {DOC_UID}, lang, CAST(ROW_NUMBER() OVER ("
@@ -3198,6 +3229,27 @@ def _bloom_incremental_sql() -> str:
                count(b.pos) = 4 AS maybe_duplicate
         FROM probes p LEFT JOIN bpos b USING (pos)
         GROUP BY p.{DOC_UID}, p.fingerprint
+    """
+
+
+def _webtext_canonical_url_sql() -> str:
+    from splink_spark.functions.text import url_domain_sql
+    from splink_spark.operators.webtext import canonical_url_sql
+
+    canon = canonical_url_sql("url_raw")
+    return f"""
+        WITH t AS (
+            SELECT {DOC_UID},
+                   'HTTP://SRC' || CAST({DOC_UID} % 5 AS VARCHAR)
+                       || '.Example.COM:80/Doc/'
+                       || CAST({DOC_UID} AS VARCHAR)
+                       || '/?utm_source=x&q=' || CAST({DOC_UID} AS VARCHAR)
+                       || '#f' || CAST({DOC_UID} AS VARCHAR) AS url_raw
+            FROM documents
+        )
+        SELECT {DOC_UID}, {canon} AS url_canonical,
+               {url_domain_sql(canon)} AS bk_domain
+        FROM t
     """
 
 

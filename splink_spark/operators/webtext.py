@@ -207,3 +207,69 @@ def prepare_pages(pages: DataFrame, minhash_bands: int = 4) -> DataFrame:
     token arrays). The comparison levels consume ``text_tokens``; page
     payloads (html/text/...) join back by unique_id when needed."""
     return with_blocking_keys(pages, minhash_bands=minhash_bands)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (dedup key for near-identical URLs)
+# ---------------------------------------------------------------------------
+#
+# Deterministic, documented normal form (native regexp columns, shared
+# RE2-compatible patterns; replacement backreference SYNTAX differs by
+# engine — $1 in java.util.regex, \1 in RE2 — so the SQL mirror swaps
+# only the replacement strings, never the patterns):
+#   1. strip the #fragment
+#   2. lowercase scheme://host[:port] (the authority prefix only —
+#      paths stay case-sensitive per RFC 3986)
+#   3. drop default ports :80 (http) / :443 (https)
+#   4. remove utm_*/gclid/fbclid tracking params, tidying separators
+#   5. drop an empty trailing '?' and a trailing '/' on non-root paths
+
+_URL_PREFIX_PAT = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+_TRACKING_PAT = r"(utm_[a-z]+|gclid|fbclid)=[^&#]*"
+
+
+def canonical_url(col: Column | str) -> Column:
+    u = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(u, r"#.*$", "")
+    prefix = F.regexp_extract(u, _URL_PREFIX_PAT, 0)
+    # substring after the authority prefix (1-based)
+    rest = u.substr(F.length(prefix) + 1, F.length(u))
+    u = F.concat(F.lower(prefix), rest)
+    # default ports — RE2-safe (no lookahead): capture the tail and
+    # put it back ($2 is empty when the port ends the url)
+    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80($|[/?#].*)", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?#:]*):443($|[/?#].*)", "$1$2")
+    # tracking params: kill the pair, then tidy separators
+    u = F.regexp_replace(u, _TRACKING_PAT, "")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    # trailing slash run on a non-root path
+    u = F.regexp_replace(u, r"(://[^/?#]+/.*?)/+$", "$1")
+    return u
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB replay: identical patterns, RE2 replacement syntax
+    (\\1 instead of $1), 'g' flag where the Spark side replaces
+    globally (Spark regexp_replace is always global)."""
+    u = expr
+    u = f"regexp_replace({u}, '#.*$', '', 'g')"
+    p = f"coalesce(regexp_extract({u}, '{_URL_PREFIX_PAT}', 0), '')"
+    u = (
+        f"(lower({p}) || substr({u}, length({p}) + 1))"
+    )
+    u = (
+        f"regexp_replace({u}, '^(http://[^/?#:]*):80($|[/?#].*)', "
+        f"'\\1\\2')"
+    )
+    u = (
+        f"regexp_replace({u}, '^(https://[^/?#:]*):443($|[/?#].*)', "
+        f"'\\1\\2')"
+    )
+    u = f"regexp_replace({u}, '{_TRACKING_PAT}', '', 'g')"
+    u = f"regexp_replace({u}, '&&+', '&', 'g')"
+    u = f"regexp_replace({u}, '\\?&', '?', 'g')"
+    u = f"regexp_replace({u}, '[?&]+$', '', 'g')"
+    u = f"regexp_replace({u}, '(://[^/?#]+/.*?)/+$', '\\1', 'g')"
+    return u

@@ -146,3 +146,50 @@ def test_distributed_corpus_equals_driver_corpus(spark):
         la = sorted(map(tuple, d_labels.collect()))
         lb = sorted(map(tuple, x_labels.collect()))
         assert la == lb
+
+
+def test_canonical_url_vectors_and_duckdb_parity(spark):
+    import duckdb
+
+    from splink_spark.operators.webtext import (
+        canonical_url,
+        canonical_url_sql,
+    )
+
+    vec = [
+        "HTTP://Example.COM:80/Path/?utm_source=x&q=1#frag",
+        "https://A.b:443/",
+        "https://a.b/x/y/?utm_a=1&utm_b=2",
+        "http://h/p1/p2/",
+        "http://h/?gclid=abc",
+        "http://h:8080/x?fbclid=z&keep=1",
+        "ftp://Host/X",
+        "http://h/p//",
+        "https://site.io:443?x=1",
+        "http://plain.example/doc",
+    ]
+    want = {
+        vec[0]: "http://example.com/Path/?q=1",
+        vec[1]: "https://a.b/",
+        vec[2]: "https://a.b/x/y",
+        vec[3]: "http://h/p1/p2",
+        vec[4]: "http://h/",
+        vec[5]: "http://h:8080/x?keep=1",
+        vec[6]: "ftp://host/X",
+        vec[7]: "http://h/p",
+        vec[8]: "https://site.io?x=1",
+        vec[9]: "http://plain.example/doc",
+    }
+    df = spark.createDataFrame([(u,) for u in vec], ["u"])
+    got = {
+        r["u"]: r["c"]
+        for r in df.select("u", canonical_url("u").alias("c")).collect()
+    }
+    assert got == want
+    duck = dict(
+        duckdb.sql(
+            f"SELECT u, {canonical_url_sql('u')} FROM "
+            f"(SELECT unnest({vec!r}) AS u)"
+        ).fetchall()
+    )
+    assert duck == want
