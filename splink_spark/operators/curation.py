@@ -74,6 +74,13 @@ def stratified_sample(
     key = _sample_key(id_col, seed).alias("__skey")
     rows = df.select("*", key)
     if prefilter_oversample is not None:
+        # NULL strata bypass the prefilter unpruned: the census joins
+        # are equi-joins (NULL never matches), but the final window
+        # keeps a NULL partition — routing them around keeps the two
+        # paths identical instead of silently dropping NULL-stratum
+        # rows on the scale path
+        null_rows = rows.filter(F.col(strata_col).isNull())
+        rows = rows.filter(F.col(strata_col).isNotNull())
         # census: stratum sizes (one small agg, broadcast back)
         sizes = rows.groupBy(strata_col).agg(
             F.count(F.lit(1)).alias("__stratum_n")
@@ -115,6 +122,7 @@ def stratified_sample(
                 pref.join(F.broadcast(short), strata_col, "left_semi")
             )
             .drop("__stratum_n", "__kint", "__cut")
+            .unionByName(null_rows)
         )
     w = Window.partitionBy(strata_col).orderBy("__skey", id_col)
     return (

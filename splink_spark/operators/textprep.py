@@ -244,6 +244,10 @@ def repeated_spans(
         F.posexplode(sh).alias("__pos0", "__gram"),
     ).select(
         id_col, (F.col("__pos0") + 1).alias("pos"), F.col("__gram").alias("gram")
+    ).filter(
+        # empty/whitespace-only docs shingle to [""] — a phantom gram
+        # that would otherwise link every empty doc into a fake span
+        F.length("gram") > 0
     )
     census = (
         grams.select(id_col, "gram")
@@ -298,7 +302,7 @@ def repeated_spans_sql(
                     i -> {{'pos': i, 'gram': ({sh})[i]}}
                 )) AS u
                 FROM {table}
-            )
+            ) WHERE length(u.gram) > 0
         ), census AS (
             SELECT gram FROM (
                 SELECT DISTINCT {id_col}, gram FROM grams

@@ -362,3 +362,25 @@ def test_staged_curate_corpus_resumes(spark, docs, tmp_path):
     lin = m1.lineage("curate_quality", m1.results[0].path.split("_")[-1]
                      .replace(".parquet", ""))
     assert lin.count() >= 1
+
+
+def test_stratified_prefilter_keeps_null_strata(spark, docs):
+    """NULL strata must survive the prefilter scale path identically to
+    the plain path (regression: equi-join census silently dropped
+    them)."""
+    nulled = docs.withColumn(
+        "lang",
+        F.when(F.col("unique_id") % 7 == 0, None).otherwise(F.col("lang")),
+    )
+    plain = stratified_sample(nulled, "lang", 12, id_col="unique_id", seed=2)
+    fast = stratified_sample(
+        nulled, "lang", 12, id_col="unique_id", seed=2,
+        prefilter_oversample=4.0,
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["unique_id"], r["lang"], r["sample_rank"]) for r in df.collect()
+    )
+    got_plain, got_fast = key(plain), key(fast)
+    assert got_plain == got_fast
+    # and the NULL stratum is actually represented
+    assert any(lang is None for _, lang, _ in got_plain)

@@ -225,3 +225,18 @@ def test_repeated_spans_duckdb_parity(spark, docs):
         ).fetchall()
     )
     assert got == want
+
+
+def test_repeated_spans_ignores_empty_docs(spark):
+    from splink_spark.operators.textprep import repeated_spans
+
+    rows = [
+        (1, ""),
+        (2, "   "),
+        (3, None),
+        (4, "ordinary words that repeat nowhere at all in this corpus"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # regression: empty/whitespace docs used to share a phantom ""
+    # gram and emit fake (1, 10) spans
+    assert repeated_spans(df, k=10, min_docs=2).count() == 0
