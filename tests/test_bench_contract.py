@@ -46,7 +46,7 @@ def test_bench_prints_one_json_line():
     # 10x scale-check leg: both legs present with near-linear evidence
     sc = d["scale_check"]
     assert sc["legs"]["x10"]["n_pages"] > 5 * sc["legs"]["x1"]["n_pages"]
-    for stage in ("minhash", "cc", "ivf"):
+    for stage in ("minhash", "cc", "ivf", "pack", "spans"):
         assert stage in sc["wall_growth_over_data_growth"]
         assert f"{stage}_sec" in sc["legs"]["x1"]
         assert f"{stage}_sec" in sc["legs"]["x10"]
