@@ -520,3 +520,42 @@ def staged_curate_corpus(
             extra_metrics={"stage_kind": "shard_packing"},
         )
     return out
+
+
+def export_token_shards(
+    df: DataFrame,
+    location: str,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "create",
+) -> dict[str, int]:
+    """Pack the corpus into token-budget shards and write it as an
+    iceberg-lite table PARTITIONED BY shard_id — each training shard is
+    a physical partition, so a trainer pulling shard k reads exactly
+    one partition's files (manifest-level pruning, no scan of the
+    rest), and the commit is a snapshot: re-exports append or overwrite
+    per iceberg semantics, and previous exports stay time-travelable.
+
+    Returns {"snapshot_id", "n_docs", "n_shards"}.
+    """
+    from splink_spark.sources.iceberg_lite import write_iceberg
+
+    packed = df.join(
+        pack_token_shards(
+            df, budget_tokens, id_col=id_col, text_col=text_col
+        ).select(id_col, "n_tokens", "shard_id"),
+        id_col,
+    )
+    snap = write_iceberg(
+        packed, location, partition_by=["shard_id"], mode=mode
+    )
+    agg = packed.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("shard_id") + 1).alias("s"),
+    ).collect()[0]
+    return {
+        "snapshot_id": snap,
+        "n_docs": int(agg["n"]),
+        "n_shards": int(agg["s"] or 0),
+    }

@@ -384,3 +384,41 @@ def test_stratified_prefilter_keeps_null_strata(spark, docs):
     assert got_plain == got_fast
     # and the NULL stratum is actually represented
     assert any(lang is None for _, lang, _ in got_plain)
+
+
+def test_export_token_shards_iceberg_partition_pruning(spark, docs, tmp_path):
+    from splink_spark.operators.curation import (
+        export_token_shards,
+        pack_token_shards,
+    )
+    from splink_spark.sources.iceberg_lite import read_iceberg, scan_files
+
+    loc = str(tmp_path / "shards_table")
+    rep = export_token_shards(
+        docs, loc, budget_tokens=5000, id_col="unique_id"
+    )
+    assert rep["n_docs"] == docs.count()
+    assert rep["n_shards"] >= 2
+
+    # full read matches the packing
+    full = read_iceberg(spark, loc)
+    assert full.count() == rep["n_docs"]
+    want = {
+        (r["unique_id"], r["shard_id"])
+        for r in pack_token_shards(
+            docs, 5000, id_col="unique_id"
+        ).collect()
+    }
+    got = {
+        (r["unique_id"], r["shard_id"]) for r in full.collect()
+    }
+    assert got == want
+
+    # shard-pruned read: exactly one partition's rows, and the scan
+    # planner proves pruning (files_selected < files_total)
+    one = read_iceberg(spark, loc, where={"shard_id": "0"})
+    n0 = sum(1 for _, s in want if s == 0)
+    assert one.count() == n0
+    _files, stats = scan_files(loc, where={"shard_id": "0"})
+    assert stats["files_selected"] < stats["files_total"]
+    assert stats["rows_selected"] == n0
