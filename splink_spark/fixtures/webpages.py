@@ -297,7 +297,24 @@ def distributed_corpus(
         gen, _PAGES_SCHEMA_WITH_DOMAIN
     )
 
-    ids = pages_b.select("unique_id", "entity_id", "base_domain")
+    # The returned pages frame (base_domain dropped) is what callers
+    # persist; deriving the label inputs from THAT frame (re-deriving
+    # base_domain from the url host, stripping the mirror- prefix —
+    # byte-identical to the generator's base_domain) lets the label
+    # subtree hit the caller's cache instead of re-running the Python
+    # generator. The narrow ids frame is additionally lazy-checkpointed:
+    # without a barrier the label plan embeds the MapInPandas generator
+    # once per join/window consumer (measured 5 generator executions for
+    # one labels.count()); with it the generator runs at most once here.
+    pages_ret = pages_b.drop("base_domain")
+
+    ids = pages_ret.select(
+        "unique_id",
+        "entity_id",
+        F.regexp_replace(
+            F.parse_url(F.col("url"), F.lit("HOST")), r"^mirror-", ""
+        ).alias("base_domain"),
+    ).localCheckpoint(eager=False)
     pos = (
         ids.alias("l")
         .join(
@@ -345,4 +362,4 @@ def distributed_corpus(
         .withColumn("is_match", F.lit(False))
     )
     labels = pos.unionByName(neg)
-    return pages_b.drop("base_domain"), labels
+    return pages_ret, labels

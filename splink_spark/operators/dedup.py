@@ -71,22 +71,16 @@ def distinct_by_fingerprint(
 # n-gram (shingle) Jaccard on candidate pairs
 # ---------------------------------------------------------------------------
 
-def shingle_jaccard_pairs(
-    df: DataFrame,
-    candidates: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 3,
+def _jaccard_on_shingle_sets(
+    candidates: DataFrame, sh: DataFrame, id_col: str
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for given candidate (l, r) id pairs."""
-    # materialize: joins would otherwise re-evaluate the shingle
-    # expression on both sides (Catalyst collapses projections, so a
-    # plain select is no barrier)
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(text_col, k)).alias("shingles"),
-    ).localCheckpoint(eager=False)
-    out = (
+    """Jaccard for candidate id pairs given a (id, shingles) table of
+    DISTINCT-element shingle keys. |union| is derived from the sizes
+    (|l| + |r| - |intersect|) so each pair pays ONE set traversal, not
+    an intersect AND a union (same integers, same double, half the set
+    work — the trick webtext's scoring cascade already uses)."""
+    inter = F.size(F.array_intersect("sh_l", "sh_r"))
+    return (
         candidates.join(
             sh.withColumnRenamed(id_col, f"{id_col}_l").withColumnRenamed(
                 "shingles", "sh_l"
@@ -99,19 +93,48 @@ def shingle_jaccard_pairs(
             ),
             f"{id_col}_r",
         )
+        .withColumn("__i", inter)
         .withColumn(
             # try_divide: docs shorter than k tokens have EMPTY shingle
             # sets; 0/0 must yield NULL (matches DuckDB's division
             # semantics), not an ANSI DIVIDE_BY_ZERO
             "jaccard",
             F.try_divide(
-                F.size(F.array_intersect("sh_l", "sh_r")),
-                F.size(F.array_union("sh_l", "sh_r")),
+                F.col("__i"),
+                F.size(F.col("sh_l")) + F.size(F.col("sh_r")) - F.col("__i"),
             ),
         )
-        .drop("sh_l", "sh_r")
+        .drop("sh_l", "sh_r", "__i")
     )
-    return out
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given candidate (l, r) id pairs.
+
+    The shingle sets are stored as 64-bit hashes
+    (functions/text.py::word_shingle_hashes, keep_empty so the
+    empty-doc pseudo-shingle keeps its historical "" membership): the
+    joins and the per-pair set intersection work on 8-byte longs
+    instead of ~10k-char strings — same Jaccard values up to the
+    documented xxhash64 collision odds."""
+    from splink_spark.functions.text import word_shingle_hashes
+
+    # materialize: joins would otherwise re-evaluate the shingle
+    # expression on both sides (Catalyst collapses projections, so a
+    # plain select is no barrier)
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            word_shingle_hashes(text_col, k, keep_empty=True)
+        ).alias("shingles"),
+    ).localCheckpoint(eager=False)
+    return _jaccard_on_shingle_sets(candidates, sh, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -124,12 +147,18 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     num_bands: int = 8,
     shingle_k: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: ids sharing any MinHash band value.
 
     Implemented as a union of per-band self-equi-joins (same plan shape
     as blocking rules), deduped across bands with the NOT-previous-bands
     predicate — pairs are emitted once, no global distinct.
+
+    ``shingles_df``: optional precomputed (id_col, __sh) distinct
+    string-shingle table (already materialized) so a caller that also
+    needs the shingles — e.g. the verify stage of
+    :func:`minhash_near_duplicates` — pays the shingle pass once.
     """
     # three materialized steps: shingles once, md5 digests once per
     # 4-band GROUP (each 128-bit digest yields four 32-bit band
@@ -142,10 +171,16 @@ def minhash_lsh_candidates(
         shingle_digests,
     )
 
-    sh_df = df.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(text_col, shingle_k)).alias("__sh"),
-    ).localCheckpoint(eager=False)
+    sh_df = (
+        shingles_df
+        if shingles_df is not None
+        else df.select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(text_col, shingle_k)).alias(
+                "__sh"
+            ),
+        ).localCheckpoint(eager=False)
+    )
     n_groups = (num_bands + 3) // 4
     dig_df = sh_df.select(
         F.col(id_col),
@@ -195,11 +230,24 @@ def minhash_near_duplicates(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.7,
 ) -> DataFrame:
-    """LSH candidates verified by exact shingle Jaccard >= threshold."""
+    """LSH candidates verified by exact shingle Jaccard >= threshold.
+
+    One shingle pass feeds BOTH stages: the string shingles drive the
+    md5 band keys, and their xxhash64 image (distinct sizes preserved)
+    drives the verify Jaccard — previously the full corpus was
+    re-tokenized and re-shingled a second time for verification."""
+    sh_df = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, shingle_k)).alias("__sh"),
+    ).localCheckpoint(eager=False)
     cands = minhash_lsh_candidates(
-        df, id_col, text_col, num_bands, shingle_k
+        df, id_col, text_col, num_bands, shingle_k, shingles_df=sh_df
     ).select(f"{id_col}_l", f"{id_col}_r")
-    scored = shingle_jaccard_pairs(df, cands, id_col, text_col, shingle_k)
+    hashed = sh_df.select(
+        F.col(id_col),
+        F.transform("__sh", lambda s: F.xxhash64(s)).alias("shingles"),
+    )
+    scored = _jaccard_on_shingle_sets(cands, hashed, id_col)
     return scored.filter(F.col("jaccard") >= jaccard_threshold)
 
 

@@ -81,14 +81,26 @@ def boilerplate_share(
     persist the exploded frame can pass it through
     ``boilerplate_ngrams`` themselves.
     """
-    boiler = boilerplate_ngrams(df, id_col, text_col, k, min_docs).select(
-        "shingle", F.lit(1).alias("__is_boiler")
+    from splink_spark.functions.text import word_shingle_hashes
+
+    # The per-doc ratios only test shingle EQUALITY, so the census and
+    # the join-back run on word_shingle_hashes longs, not the ~k-word
+    # strings (boilerplate_ngrams keeps strings — its OUTPUT is the
+    # shingle text). keep_empty=True preserves the historical ""
+    # pseudo-shingle membership for empty docs.
+    hashed = F.array_distinct(
+        word_shingle_hashes(text_col, k, keep_empty=True)
+    )
+    boiler = (
+        df.select(F.col(id_col), F.explode(hashed).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_docs)
+        .select("shingle", F.lit(1).alias("__is_boiler"))
     )
     ex = df.select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(word_shingles(text_col, k))
-        ).alias("shingle"),
+        F.explode(hashed).alias("shingle"),
     )
     per_doc = (
         ex.join(boiler, "shingle", "left")
@@ -238,16 +250,23 @@ def repeated_spans(
     """
     from pyspark.sql import Window
 
-    sh = word_shingles(text_col, k)
+    from splink_spark.functions.text import word_shingle_hashes
+
+    # k-gram keys as 64-bit hashes (word_shingle_hashes): the census
+    # distinct/aggregate and the hits join move 8-byte longs instead of
+    # ~10-word gram strings, and the k-token concat string build
+    # disappears from the explode — equality semantics identical up to
+    # the documented xxhash64 collision odds. keep_empty=False bakes in
+    # the historical `length(gram) > 0` phantom-gram filter (empty docs
+    # emit no position), so positions are unchanged.
+    sh = word_shingle_hashes(text_col, k, keep_empty=False)
     grams = df.select(
         F.col(id_col),
         F.posexplode(sh).alias("__pos0", "__gram"),
     ).select(
-        id_col, (F.col("__pos0") + 1).alias("pos"), F.col("__gram").alias("gram")
-    ).filter(
-        # empty/whitespace-only docs shingle to [""] — a phantom gram
-        # that would otherwise link every empty doc into a fake span
-        F.length("gram") > 0
+        id_col,
+        (F.col("__pos0") + 1).alias("pos"),
+        F.col("__gram").alias("gram"),
     )
     census = (
         grams.select(id_col, "gram")

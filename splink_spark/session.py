@@ -31,10 +31,27 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # shuffled hash join beats sort-merge when a per-partition build
+        # side fits (guide §3.1); AQE can also demote SMJ to SHJ at
+        # runtime below the local-map threshold. Join RESULTS are
+        # strategy-independent; both knobs hold on a real cluster.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "128m",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode runs every task thread inside the driver JVM, so
+        # the heap must be sized for cores x task state + SQL caches —
+        # 8g at 32 threads showed multi-second GC stalls in the scoring
+        # stages. Env-overridable; on a real cluster executor memory is
+        # its own setting and this only sizes the (data-light) driver.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g")
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
     )
