@@ -141,63 +141,85 @@ def shingle_jaccard_pairs(
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_bands: int = 8,
-    shingle_k: int = 3,
-    shingles_df: DataFrame | None = None,
+def _minhash_keyed(
+    sh_frame: DataFrame,
+    id_col: str,
+    num_bands: int,
+    with_hashed: bool = False,
 ) -> DataFrame:
-    """Candidate near-dup pairs: ids sharing any MinHash band value.
+    """Band-key table (id, mh_0..num_bands-1[, __hashed]) computed in
+    ONE projection over a (id, __sh) distinct-shingle frame, with ONE
+    lazy checkpoint of the NARROW result.
 
-    Implemented as a union of per-band self-equi-joins (same plan shape
-    as blocking rules), deduped across bands with the NOT-previous-bands
-    predicate — pairs are emitted once, no global distinct.
+    The former 3-step chain (shingle checkpoint -> digest checkpoint ->
+    key checkpoint) materialized the full shingle strings AND their md5
+    hex arrays (~2 x 30 bytes x every shingle of the corpus) just to
+    hand 4 tiny band mins downstream. Here the shingle array is
+    let-bound (single-element transform), each 4-band group's digest
+    array is let-bound inside it (md5 runs exactly once per shingle per
+    group — identical digests, identical band keys byte-for-byte), and
+    only (id, band mins[, xxhash64'd shingles for Jaccard verify]) is
+    ever stored. The fields are flattened AFTER the checkpoint so field
+    extraction cannot re-inline the build expression."""
+    from splink_spark.functions.text import _band_group_suffix
 
-    ``shingles_df``: optional precomputed (id_col, __sh) distinct
-    string-shingle table (already materialized) so a caller that also
-    needs the shingles — e.g. the verify stage of
-    :func:`minhash_near_duplicates` — pays the shingle pass once.
-    """
-    # three materialized steps: shingles once, md5 digests once per
-    # 4-band GROUP (each 128-bit digest yields four 32-bit band
-    # slices), then band keys — otherwise every band (and every join
-    # side) re-derives tokens+shingles+digests from raw text. At 500k
-    # pages the digest pass dominates; sharing it across 4 bands cut
-    # the wall ~4x.
-    from splink_spark.functions.text import (
-        minhash_bands_from_digests,
-        shingle_digests,
-    )
-
-    sh_df = (
-        shingles_df
-        if shingles_df is not None
-        else df.select(
-            F.col(id_col),
-            F.array_distinct(word_shingles(text_col, shingle_k)).alias(
-                "__sh"
-            ),
-        ).localCheckpoint(eager=False)
-    )
     n_groups = (num_bands + 3) // 4
-    dig_df = sh_df.select(
+
+    def group_struct(sh, g):
+        def h(s):
+            return F.md5(
+                s if g == 0 else F.concat(s, F.lit(f"#g{g}"))
+            )
+
+        bands = [b for b in range(num_bands) if b // 4 == g]
+
+        def band_min(d, start):
+            return F.array_min(
+                F.transform(d, lambda x: F.substring(x, start, 8))
+            )
+
+        def mins(d):
+            return F.struct(
+                *[
+                    band_min(d, _band_group_suffix(b)[1]).alias(f"mh_{b}")
+                    for b in bands
+                ]
+            )
+
+        return F.element_at(
+            F.transform(F.array(F.transform(sh, h)), mins), 1
+        )
+
+    def build(sh):
+        parts = [
+            group_struct(sh, g).alias(f"g{g}") for g in range(n_groups)
+        ]
+        if with_hashed:
+            parts.append(
+                F.transform(sh, lambda s: F.xxhash64(s)).alias("h")
+            )
+        return F.struct(*parts)
+
+    raw = sh_frame.select(
         F.col(id_col),
-        *[
-            shingle_digests(F.col("__sh"), g).alias(f"__dig{g}")
-            for g in range(n_groups)
-        ],
+        F.element_at(
+            F.transform(F.array(F.col("__sh")), build), 1
+        ).alias("__k"),
     ).localCheckpoint(eager=False)
-    keyed = dig_df.select(
-        F.col(id_col),
-        *[
-            minhash_bands_from_digests(
-                F.col(f"__dig{b // 4}"), b
-            ).alias(f"mh_{b}")
-            for b in range(num_bands)
-        ],
-    ).localCheckpoint(eager=False)
+    cols = [F.col(id_col)] + [
+        F.col(f"__k.g{b // 4}.mh_{b}").alias(f"mh_{b}")
+        for b in range(num_bands)
+    ]
+    if with_hashed:
+        cols.append(F.col("__k.h").alias("__hashed"))
+    return raw.select(*cols)
+
+
+def _band_join_candidates(
+    keyed: DataFrame, id_col: str, num_bands: int
+) -> DataFrame:
+    """Union of per-band self-equi-joins over a band-key table, deduped
+    across bands with the NOT-previous-bands predicate."""
     outputs = []
     for b in range(num_bands):
         conds = [
@@ -222,6 +244,44 @@ def minhash_lsh_candidates(
     return out
 
 
+def _distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, shingle_k)).alias("__sh"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bands: int = 8,
+    shingle_k: int = 3,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs: ids sharing any MinHash band value.
+
+    Implemented as a union of per-band self-equi-joins (same plan shape
+    as blocking rules), deduped across bands with the NOT-previous-bands
+    predicate — pairs are emitted once, no global distinct. The band
+    keys come from :func:`_minhash_keyed` — one pass over the corpus,
+    one narrow checkpoint shared by every join side.
+
+    ``shingles_df``: optional precomputed (id_col, __sh) distinct
+    string-shingle frame to use instead of deriving shingles from
+    ``text_col``.
+    """
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else _distinct_shingles(df, id_col, text_col, shingle_k)
+    )
+    keyed = _minhash_keyed(sh, id_col, num_bands)
+    return _band_join_candidates(keyed, id_col, num_bands)
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -232,20 +292,22 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """LSH candidates verified by exact shingle Jaccard >= threshold.
 
-    One shingle pass feeds BOTH stages: the string shingles drive the
-    md5 band keys, and their xxhash64 image (distinct sizes preserved)
-    drives the verify Jaccard — previously the full corpus was
-    re-tokenized and re-shingled a second time for verification."""
-    sh_df = df.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(text_col, shingle_k)).alias("__sh"),
-    ).localCheckpoint(eager=False)
-    cands = minhash_lsh_candidates(
-        df, id_col, text_col, num_bands, shingle_k, shingles_df=sh_df
-    ).select(f"{id_col}_l", f"{id_col}_r")
-    hashed = sh_df.select(
-        F.col(id_col),
-        F.transform("__sh", lambda s: F.xxhash64(s)).alias("shingles"),
+    ONE pass over the corpus feeds BOTH stages: :func:`_minhash_keyed`
+    (with_hashed) computes the md5 band keys AND the xxhash64 shingle
+    sets for the verify Jaccard in the same projection, so the corpus
+    is tokenized and shingled exactly once and only narrow columns are
+    ever materialized."""
+    keyed = _minhash_keyed(
+        _distinct_shingles(df, id_col, text_col, shingle_k),
+        id_col,
+        num_bands,
+        with_hashed=True,
+    )
+    cands = _band_join_candidates(keyed, id_col, num_bands).select(
+        f"{id_col}_l", f"{id_col}_r"
+    )
+    hashed = keyed.select(
+        F.col(id_col), F.col("__hashed").alias("shingles")
     )
     scored = _jaccard_on_shingle_sets(cands, hashed, id_col)
     return scored.filter(F.col("jaccard") >= jaccard_threshold)

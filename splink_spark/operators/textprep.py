@@ -260,6 +260,10 @@ def repeated_spans(
     # the historical `length(gram) > 0` phantom-gram filter (empty docs
     # emit no position), so positions are unchanged.
     sh = word_shingle_hashes(text_col, k, keep_empty=False)
+    # lazy checkpoint: the positions table feeds TWO consumers (the
+    # doc-frequency census and the hits join). Without a barrier each
+    # consumer re-tokenizes and re-hashes the full corpus — one whole
+    # extra linear pass at every scale.
     grams = df.select(
         F.col(id_col),
         F.posexplode(sh).alias("__pos0", "__gram"),
@@ -267,7 +271,7 @@ def repeated_spans(
         id_col,
         (F.col("__pos0") + 1).alias("pos"),
         F.col("__gram").alias("gram"),
-    )
+    ).localCheckpoint(eager=False)
     census = (
         grams.select(id_col, "gram")
         .distinct()

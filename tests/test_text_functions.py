@@ -190,3 +190,107 @@ def test_submit_pipeline_runs_locally(spark, tmp_path):
     assert stats["n_pages"] == 300
     assert 0 < stats["n_clusters"] <= 300
     assert spark.read.parquet(out).columns  # readable output
+
+
+def test_tokens_fast_split_matches_normalize_then_split(spark):
+    """r6 optimization pin: tokens() is now ONE regex split
+    (array_remove + empty-guard) instead of splitting normalize_text's
+    output; the two formulations must agree on every input, including
+    the empty/all-separator -> [""] and NULL -> NULL edge cases the
+    downstream token_count/shingle short-row logic depends on."""
+    from splink_spark.functions.text import tokens
+
+    rows = [
+        ("",),
+        (None,),
+        ("   ",),
+        ("!!!",),
+        ("a",),
+        (" a-b,c ",),
+        ("Héllo Wörld ß æ œ",),
+        ("tab\tnewline\nmix",),
+        ("ω symbols ✓ here",),
+        ("a  b   c",),
+        ("trailing punct...",),
+        ("ŁÓDŹ piękna",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    old = F.split(normalize_text("text"), r"\s")
+    bad = (
+        df.select(tokens("text").alias("new"), old.alias("old"))
+        .filter(~F.col("new").eqNullSafe(F.col("old")))
+        .count()
+    )
+    assert bad == 0
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bad_docs = (
+        docs.select(tokens("text").alias("new"), old.alias("old"))
+        .filter(~F.col("new").eqNullSafe(F.col("old")))
+        .count()
+    )
+    assert bad_docs == 0
+
+
+def test_word_shingle_hashes_equality_matches_string_shingles(spark):
+    """r6 optimization pin: word_shingle_hashes (token-hash-composed
+    keys) must induce the same equality classes as the string shingles
+    of word_shingles — same distinct count per doc and same cross-doc
+    equality — on real fixture text."""
+    from splink_spark.functions.text import word_shingle_hashes, word_shingles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    both = docs.select(
+        F.array_distinct(word_shingles("text", 3)).alias("s"),
+        F.array_distinct(word_shingle_hashes("text", 3, keep_empty=True)).alias("h"),
+    )
+    mismatch = both.filter(F.size("s") != F.size("h")).count()
+    assert mismatch == 0
+    # cross-doc: jaccard computed over strings == over hashes
+    from splink_spark.operators.dedup import shingle_jaccard_pairs
+
+    d = docs.limit(60)
+    cands = (
+        d.alias("l")
+        .join(d.alias("r"), F.expr("l.doc_id < r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_id_l"),
+            F.col("r.doc_id").alias("doc_id_r"),
+        )
+    )
+    hashed_jac = shingle_jaccard_pairs(d, cands).select(
+        "doc_id_l", "doc_id_r", "jaccard"
+    )
+    sh = d.select(
+        F.col("doc_id"),
+        F.array_distinct(word_shingles("text", 3)).alias("shingles"),
+    )
+    string_jac = (
+        cands.join(
+            sh.withColumnRenamed("doc_id", "doc_id_l").withColumnRenamed(
+                "shingles", "sh_l"
+            ),
+            "doc_id_l",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_id_r").withColumnRenamed(
+                "shingles", "sh_r"
+            ),
+            "doc_id_r",
+        )
+        .select(
+            "doc_id_l",
+            "doc_id_r",
+            F.try_divide(
+                F.size(F.array_intersect("sh_l", "sh_r")),
+                F.size(F.array_union("sh_l", "sh_r")),
+            ).alias("jaccard"),
+        )
+    )
+    diff = (
+        hashed_jac.join(string_jac, ["doc_id_l", "doc_id_r"])
+        .filter(
+            ~string_jac["jaccard"].eqNullSafe(hashed_jac["jaccard"])
+        )
+        .count()
+    )
+    assert diff == 0
