@@ -302,10 +302,13 @@ def distributed_corpus(
     # base_domain from the url host, stripping the mirror- prefix —
     # byte-identical to the generator's base_domain) lets the label
     # subtree hit the caller's cache instead of re-running the Python
-    # generator. The narrow ids frame is additionally lazy-checkpointed:
-    # without a barrier the label plan embeds the MapInPandas generator
-    # once per join/window consumer (measured 5 generator executions for
-    # one labels.count()); with it the generator runs at most once here.
+    # generator. The narrow ids frame is additionally persisted (persist,
+    # not a lazy checkpoint: the label plan's broadcast subqueries run
+    # concurrently, and block-level cache locking is the only barrier
+    # that stops two of them racing to materialize it twice): without
+    # any barrier the label plan embeds the MapInPandas generator once
+    # per join/window consumer (measured 5 generator executions for one
+    # labels.count()); with it the generator runs at most once here.
     pages_ret = pages_b.drop("base_domain")
 
     ids = pages_ret.select(
@@ -314,7 +317,7 @@ def distributed_corpus(
         F.regexp_replace(
             F.parse_url(F.col("url"), F.lit("HOST")), r"^mirror-", ""
         ).alias("base_domain"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     pos = (
         ids.alias("l")
         .join(
@@ -347,17 +350,18 @@ def distributed_corpus(
         "entity_id",
         "stack(3, nid1, neid1, nid2, neid2, nid3, neid3) AS (nid, neid)",
     )
+    # No distinct / anti-join needed (they were plan-wave no-ops the
+    # pandas driver path pays only once at small scale): the window is
+    # ordered by unique_id, so every lead is strictly greater than the
+    # current id (least/greatest never reorder) and each unordered pair
+    # is produced by exactly one (row, k) — pairs are unique by
+    # construction; and negatives require neid != entity_id while every
+    # positive is a same-entity pair, so the two sets are disjoint.
     neg = (
         stacked.filter("nid IS NOT NULL AND neid != entity_id")
         .select(
             F.least("unique_id", "nid").alias("unique_id_l"),
             F.greatest("unique_id", "nid").alias("unique_id_r"),
-        )
-        .distinct()
-        .join(
-            pos.select("unique_id_l", "unique_id_r"),
-            ["unique_id_l", "unique_id_r"],
-            "left_anti",
         )
         .withColumn("is_match", F.lit(False))
     )

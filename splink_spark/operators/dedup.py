@@ -435,38 +435,31 @@ def embedding_near_duplicates(
     (quadratic — only for small/test corpora; at scale use
     :func:`splink_spark.operators.similarity.signed_projection_buckets`).
     """
+    from splink_spark.operators.similarity import (
+        cosine_from_parts,
+        vec_norm,
+    )
+
     cols = [F.col(id_col), F.col(vec_col)]
     if bucket_col:
         cols.append(F.col(bucket_col))
-    v = emb.select(*cols)
+    # norm hoisted to the per-row projection: one norm per vector, not
+    # one per pair (bit-identical value — same subexpression)
+    v = emb.select(*cols, vec_norm(F.col(vec_col)).alias("__nrm"))
     cond = f"l.{id_col} < r.{id_col}"
     if bucket_col:
         cond = f"l.{bucket_col} = r.{bucket_col} AND {cond}"
     j = v.alias("l").join(v.alias("r"), F.expr(cond))
-    dot = F.aggregate(
-        F.zip_with(
-            F.col(f"l.{vec_col}"),
-            F.col(f"r.{vec_col}"),
-            lambda a, b: a.cast("double") * b.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-    def norm(side: str):
-        return F.sqrt(
-            F.aggregate(
-                F.col(f"{side}.{vec_col}"),
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            )
-        )
-
     return (
         j.select(
             F.col(f"l.{id_col}").alias(f"{id_col}_l"),
             F.col(f"r.{id_col}").alias(f"{id_col}_r"),
-            (dot / (norm("l") * norm("r"))).alias("cosine"),
+            cosine_from_parts(
+                F.col(f"l.{vec_col}"),
+                F.col(f"r.{vec_col}"),
+                F.col("l.__nrm"),
+                F.col("r.__nrm"),
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -24,21 +24,38 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def cosine_expr(a: Column, b: Column) -> Column:
-    dot = F.aggregate(
+def vec_norm(v: Column) -> Column:
+    """Euclidean norm of an embedding column — hoist this into the
+    per-SIDE projection before a pair join: a norm is a per-vector
+    quantity, and computing it per PAIR (as a naive cosine expression
+    does) multiplies the HOF work by the candidate fan-out."""
+    return F.sqrt(
+        F.aggregate(
+            v,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
 
-    def norm(v: Column) -> Column:
-        return F.sqrt(
-            F.aggregate(
-                v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-            )
-        )
 
-    return dot / (norm(a) * norm(b))
+def cosine_from_parts(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine given precomputed side norms. Bit-identical to
+    :func:`cosine_expr`: same dot fold, same norm subexpression shape,
+    same multiply/divide order — only WHERE the norms are evaluated
+    changes (once per row instead of once per pair)."""
+    return dot_expr(a, b) / (na * nb)
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (vec_norm(a) * vec_norm(b))
 
 
 def brute_force_topk(
@@ -57,13 +74,25 @@ def brute_force_topk(
     """
     qid = query_id_col or id_col
     q = queries.select(
-        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        vec_norm(F.col(vec_col)).alias("__qnorm"),
     )
-    joined = corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        vec_norm(F.col(vec_col)).alias("__vnorm"),
+    )
+    joined = c.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
     scored = joined.select(
         "query_id",
         id_col,
-        cosine_expr(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
+        cosine_from_parts(
+            F.col("__qvec"),
+            F.col(vec_col),
+            F.col("__qnorm"),
+            F.col("__vnorm"),
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col(id_col)
@@ -135,28 +164,36 @@ def lsh_topk(
             keyed, dim, n_planes, seed + 7919 * t, vec_col, out_col=col
         )
         bucket_cols.append(col)
-    # materialize: the per-table joins must not re-derive all buckets
-    keyed = keyed.select(id_col, vec_col, *bucket_cols).localCheckpoint(
-        eager=False
-    )
+    # materialize: the per-table joins must not re-derive all buckets;
+    # the norm is stored alongside (computed once per vector, not once
+    # per candidate pair)
+    keyed = keyed.select(
+        id_col, vec_col, vec_norm(F.col(vec_col)).alias("__norm"), *bucket_cols
+    ).localCheckpoint(eager=False)
 
     cands = None
     for t, col in enumerate(bucket_cols):
         left = keyed.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
+            F.col("__norm").alias("__qnorm"),
             F.col(col),
         )
-        right = keyed.select(id_col, vec_col, col)
+        right = keyed.select(id_col, vec_col, "__norm", col)
         j = left.join(right, col).filter(F.col(id_col) != F.col("query_id"))
-        c = j.select("query_id", id_col, "__qvec", vec_col)
+        c = j.select("query_id", id_col, "__qvec", "__qnorm", vec_col, "__norm")
         cands = c if cands is None else cands.unionByName(c)
     cands = cands.dropDuplicates(["query_id", id_col])
 
     scored = cands.select(
         "query_id",
         id_col,
-        cosine_expr(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
+        cosine_from_parts(
+            F.col("__qvec"),
+            F.col(vec_col),
+            F.col("__qnorm"),
+            F.col("__norm"),
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -304,6 +341,7 @@ def ivf_topk(
     corpus_assigned = corpus.select(
         id_col,
         vec_col,
+        vec_norm(F.col(vec_col)).alias("__vnorm"),
         F.element_at(
             _assign_udf(centroids, nprobe=1)(F.col(vec_col)), 1
         ).alias("centroid_id"),
@@ -311,6 +349,7 @@ def ivf_topk(
     probes = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
+        vec_norm(F.col(vec_col)).alias("__qnorm"),
         F.explode(
             _assign_udf(centroids, nprobe=nprobe)(F.col(vec_col))
         ).alias("centroid_id"),
@@ -324,7 +363,12 @@ def ivf_topk(
     scored = j.select(
         "query_id",
         id_col,
-        cosine_expr(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
+        cosine_from_parts(
+            F.col("__qvec"),
+            F.col(vec_col),
+            F.col("__qnorm"),
+            F.col("__vnorm"),
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col(id_col)
