@@ -103,11 +103,18 @@ def stratified_sample(
         )
         survivors = pref.filter(F.col("__kint") < F.col("__cut"))
         # shortfall fallback: strata where the prefilter kept fewer
-        # than min(n, stratum_n) rows are re-included whole
+        # than min(n, stratum_n) rows are re-included whole. Derived
+        # from the FULL census left-joined with survivor counts (kept
+        # coalesced to 0): a stratum whose survivors are zero has no
+        # group in the survivor aggregate at all, and deriving `short`
+        # from survivors alone would silently drop it — the exact
+        # worst case the safety net exists for.
+        kept = survivors.groupBy(strata_col).agg(
+            F.count(F.lit(1)).alias("__kept")
+        )
         short = (
-            survivors.groupBy(strata_col)
-            .agg(F.count(F.lit(1)).alias("__kept"))
-            .join(F.broadcast(sizes), strata_col)
+            sizes.join(kept, strata_col, "left")
+            .withColumn("__kept", F.coalesce("__kept", F.lit(0)))
             .filter(
                 F.col("__kept")
                 < F.least(F.lit(n_per_stratum), F.col("__stratum_n"))
