@@ -44,14 +44,13 @@ def get_spark(
         .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        # local mode runs every task thread inside the driver JVM, so
-        # the heap must be sized for cores x task state + SQL caches —
-        # 8g at 32 threads showed multi-second GC stalls in the scoring
-        # stages. Env-overridable; on a real cluster executor memory is
-        # its own setting and this only sizes the (data-light) driver.
-        .config(
-            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g")
-        )
+        # 8g default, deliberately NOT oversized: an idle-host A/B
+        # (r6) showed 24g buys nothing over 8g here, and
+        # BENCH/run_scaling.py documents a measured 20-27x GC/page-
+        # fault pathology with a 48g heap on this host class. The
+        # cached working set is ~1-2 GB; override via SPARK_DRIVER_MEM
+        # when a workload genuinely needs more.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
     )
