@@ -363,8 +363,11 @@ def block_using_rules(
     ordering = _ordering_condition(link_mode, uid, source_col)
 
     # narrow the join legs to the columns the rules (and predicates)
-    # actually read; payload columns attach after the union
-    narrow = bool(retain_columns)
+    # actually read; payload columns attach after the union. Only
+    # worth it for R > 1 rules: with a single rule the payload crosses
+    # its one join once either way, and the two attach joins would be
+    # pure overhead (measured +0.1s on the single-rule o7 path).
+    narrow = bool(retain_columns) and len(rules) > 1
     if narrow:
         refs: set[str] = set()
         for br in rules:
